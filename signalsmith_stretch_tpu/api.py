@@ -1,0 +1,162 @@
+"""User-facing API mirroring the reference `SignalsmithStretch` surface.
+
+Control methods match signalsmith-stretch.h one-for-one:
+  preset_default/preset_cheaper/configure        (:63-104)
+  set_transpose_factor/set_transpose_semitones   (:107-117)
+  set_freq_map                                   (:119-122)
+  set_formant_factor/semitones/base              (:124-135)
+  block_samples/interval_samples/latencies       (:42-47, 96-104)
+  exact                                          (:467-491)
+
+Offline rendering compiles one tensor program per (config, in_len, out_len)
+shape; repeated calls with the same shape reuse the compiled executable.
+Streaming process/seek/flush live in streaming.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import engine
+from .config import StretchConfig
+from .spectral import Controls, SpectralFlags
+
+f32 = np.float32
+
+
+class SignalsmithStretch:
+    def __init__(self, seed: int = 0):
+        self._seed = seed
+        self._cfg: Optional[StretchConfig] = None
+        self._freq_multiplier = f32(1)
+        self._freq_tonality_limit = f32(0.5)
+        self._custom_map: Optional[Callable] = None
+        self._formant_multiplier = f32(1)
+        self._formant_compensation = False
+        self._formant_base_freq = f32(0)
+        self._plan_cache = {}
+        self._fn_cache = {}
+
+    # ---- configuration ----------------------------------------------------
+    def preset_default(self, channels: int, sample_rate: float,
+                       split_computation: bool = False):
+        self._cfg = StretchConfig.preset_default(channels, sample_rate,
+                                                 split_computation)
+
+    def preset_cheaper(self, channels: int, sample_rate: float,
+                       split_computation: bool = True):
+        self._cfg = StretchConfig.preset_cheaper(channels, sample_rate,
+                                                 split_computation)
+
+    def configure(self, channels: int, block_samples: int,
+                  interval_samples: int, split_computation: bool = False):
+        self._cfg = StretchConfig(channels, int(block_samples),
+                                  int(interval_samples), split_computation)
+
+    @property
+    def config(self) -> StretchConfig:
+        if self._cfg is None:
+            raise RuntimeError("call preset_default/preset_cheaper/configure first")
+        return self._cfg
+
+    def block_samples(self) -> int:
+        return self.config.block_samples
+
+    def interval_samples(self) -> int:
+        return self.config.interval_samples
+
+    def split_computation(self) -> bool:
+        return self.config.split_computation
+
+    def input_latency(self) -> int:
+        return self.config.input_latency
+
+    def output_latency(self) -> int:
+        return self.config.output_latency
+
+    def seek_length(self) -> int:
+        return self.config.seek_length
+
+    def output_seek_length(self, playback_rate: float) -> int:
+        return self.config.output_seek_length(f32(playback_rate))
+
+    # ---- pitch / formant controls -----------------------------------------
+    def set_transpose_factor(self, multiplier: float, tonality_limit: float = 0):
+        self._freq_multiplier = f32(multiplier)
+        if tonality_limit > 0:
+            self._freq_tonality_limit = f32(
+                f32(tonality_limit) / f32(math.sqrt(f32(multiplier))))
+        else:
+            self._freq_tonality_limit = f32(1)
+        self._custom_map = None
+
+    def set_transpose_semitones(self, semitones: float, tonality_limit: float = 0):
+        self.set_transpose_factor(f32(2.0 ** (f32(semitones) / f32(12))),
+                                  tonality_limit)
+
+    def set_freq_map(self, input_to_output: Callable):
+        """Custom monotonic frequency map (normalized cycles/sample), traced
+        into the compiled program (reference :119-122)."""
+        self._custom_map = input_to_output
+
+    def set_formant_factor(self, multiplier: float, compensate_pitch: bool = False):
+        self._formant_multiplier = f32(multiplier)
+        self._formant_compensation = bool(compensate_pitch)
+
+    def set_formant_semitones(self, semitones: float, compensate_pitch: bool = False):
+        self.set_formant_factor(f32(2.0 ** (f32(semitones) / f32(12))),
+                                compensate_pitch)
+
+    def set_formant_base(self, base_freq: float = 0):
+        self._formant_base_freq = f32(base_freq)
+
+    # ---- traced controls / static flags -----------------------------------
+    def _controls(self) -> Controls:
+        return Controls(
+            freq_multiplier=jnp.float32(self._freq_multiplier),
+            freq_tonality_limit=jnp.float32(self._freq_tonality_limit),
+            formant_multiplier=jnp.float32(self._formant_multiplier),
+            inv_formant_multiplier=jnp.float32(f32(1) / self._formant_multiplier),
+            formant_base_freq=jnp.float32(self._formant_base_freq),
+        )
+
+    def _flags(self) -> SpectralFlags:
+        mapped = (self._custom_map is not None
+                  or float(self._freq_multiplier) != 1.0)
+        process_formants = (float(self._formant_multiplier) != 1.0
+                            or (self._formant_compensation and mapped))
+        return SpectralFlags(mapped=mapped, process_formants=process_formants,
+                             formant_compensation=self._formant_compensation,
+                             custom_map=self._custom_map)
+
+    # ---- offline rendering -------------------------------------------------
+    def exact(self, audio, output_samples: int) -> Tuple[np.ndarray, bool]:
+        """Whole-buffer render (reference exact(), :467-491).
+
+        audio: [channels, input_samples] array.  Returns (output, ok); ok is
+        False (and the output zero) when the input is shorter than
+        outputSeekLength, matching the reference.
+        """
+        audio = jnp.asarray(audio, jnp.float32)
+        cfg = self.config
+        if audio.ndim != 2 or audio.shape[0] != cfg.channels:
+            raise ValueError(f"audio must be [channels={cfg.channels}, samples]")
+        in_samples = int(audio.shape[1])
+        key = (cfg, in_samples, int(output_samples))
+        plan = self._plan_cache.get(key)
+        if plan is None:
+            plan = engine.build_exact_plan(cfg, in_samples, int(output_samples))
+            self._plan_cache[key] = plan
+        if not plan.sched.valid:
+            return np.zeros((cfg.channels, int(output_samples)), np.float32), False
+        flags = self._flags()
+        fn_key = (key, flags)
+        fn = self._fn_cache.get(fn_key)
+        if fn is None:
+            fn = engine.jitted_render(plan, flags)
+            self._fn_cache[fn_key] = fn
+        out = fn(audio, self._controls(), self._seed)
+        return np.asarray(out), True

@@ -1,0 +1,177 @@
+"""Offline rendering engine: exact() as one compiled tensor program.
+
+The reference's exact() (signalsmith-stretch.h:467-491) chains
+outputSeek -> process -> flush over shared ring state.  Here the whole chain
+becomes: static schedule (schedule.py) -> frame gather -> batched modified-FFT
+analysis -> lax.scan of the spectral kernel over blocks -> batched inverse FFT
+-> strided overlap-add -> WOLA-normalized assembly with the pre-roll
+cancellation (outputSeek :198-203) and reversed-tail subtraction (flush
+:444-454) as closed-form tensor ops.
+
+The per-sample loop, step-split scheduler and ring buffers of the reference
+are CPU-real-time idioms; on TPU the same semantics are static index
+arithmetic around one scan (see SURVEY.md §7).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import schedule as sched_mod
+from . import spectral, stft
+from .config import StretchConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ExactPlan:
+    """Everything static needed to render one (config, in_len, out_len) shape."""
+    cfg: StretchConfig
+    sched: sched_mod.ExactSchedule
+    basis: stft.StftBasis
+    consts: spectral.SpectralConsts
+    weight: np.ndarray          # [ring_len] float32, floored WOLA weights
+    frame_idx: np.ndarray       # [nBlocks, block] timeline gather indices
+    re_rows: np.ndarray         # indices of blocks needing re-analysis
+    re_frame_idx: np.ndarray    # [nRe, block] gather indices for those
+    arrays: dict                # per-block flag/factor arrays
+
+
+def build_exact_plan(cfg: StretchConfig, in_samples: int,
+                     out_samples: int) -> ExactPlan:
+    sch = sched_mod.build_exact_schedule(cfg, in_samples, out_samples)
+    basis = stft.StftBasis.for_config(cfg)
+    consts = spectral.SpectralConsts.for_config(cfg)
+    if not sch.valid:
+        return ExactPlan(cfg, sch, basis, consts, np.zeros(1, np.float32),
+                         np.zeros((0, 0), np.int32), np.zeros(0, np.int32),
+                         np.zeros((0, 0), np.int32), {})
+    arrays = sched_mod.block_arrays(sch)
+    block = cfg.block_samples
+    ends = arrays["analysis_end"]
+    base = np.arange(block, dtype=np.int32)
+    frame_idx = (ends[:, None] - block + base[None, :]).astype(np.int32)
+    # analysis of the previous frame, one interval back (:335-341)
+    re_rows = np.where(arrays["reanalyse"])[0].astype(np.int32)
+    re_frame_idx = (ends[re_rows, None] - cfg.interval_samples - block
+                    + base[None, :]).astype(np.int32)
+    # frames may reach before the timeline start (conceptual zero history)
+    weight = stft.wola_weight(basis, sch.ring_len, arrays["out_pos"])
+    return ExactPlan(cfg, sch, basis, consts, weight, frame_idx, re_rows,
+                     re_frame_idx, arrays)
+
+
+def _build_timeline(audio: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
+    """audio [ch, in_samples] -> virtual input timeline [ch, timeline_len]."""
+    ch = audio.shape[0]
+    parts = []
+    for seg in plan.sched.segments:
+        if seg.kind == "zeros":
+            parts.append(jnp.zeros((ch, seg.length), jnp.float32))
+        else:
+            parts.append(jax.lax.dynamic_slice_in_dim(
+                audio, seg.src_offset, seg.length, axis=1).astype(jnp.float32))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _overlap_add(blocks_t: jnp.ndarray, out_pos: np.ndarray,
+                 ring_len: int, block: int, interval: int) -> jnp.ndarray:
+    """blocks_t [nB, ch, block] -> ring [ch, ring_len] via strided fold.
+
+    Block placement is uniform every `interval` samples (the reference fires a
+    block each interval of output, :281), so the fold reduces to summing a few
+    row-shifted copies of an [nB, m*interval] view.
+    """
+    n_b, ch, _ = blocks_t.shape
+    first = int(out_pos[0])
+    m = -(-block // interval)
+    pad = m * interval - block
+    z = jnp.pad(blocks_t, ((0, 0), (0, 0), (0, pad)))
+    z = z.reshape(n_b, ch, m, interval)
+    rows = n_b + m
+    ring2d = jnp.zeros((ch, rows, interval), jnp.float32)
+    for i in range(m):
+        ring2d = ring2d.at[:, i:i + n_b].add(jnp.moveaxis(z[:, :, i], 0, 1))
+    flat = ring2d.reshape(ch, rows * interval)
+    out = jnp.zeros((ch, ring_len), jnp.float32)
+    n = min(rows * interval, ring_len - first)
+    return out.at[:, first:first + n].set(flat[:, :n])
+
+
+def render_exact(audio: jnp.ndarray, plan: ExactPlan,
+                 controls: spectral.Controls, flags: spectral.SpectralFlags,
+                 seed: int = 0) -> jnp.ndarray:
+    """audio [ch, in_samples] float32 -> [ch, out_samples] float32."""
+    cfg, sch = plan.cfg, plan.sched
+    if not sch.valid:
+        return jnp.zeros((audio.shape[0], sch.out_samples), jnp.float32)
+
+    timeline = _build_timeline(audio, plan)
+
+    # ---- analysis (batched over blocks) -----------------------------------
+    # gather indices may be negative for the first frames (zero history)
+    def gather_frames(idx: np.ndarray) -> jnp.ndarray:
+        valid = idx >= 0
+        safe = np.maximum(idx, 0)
+        fr = timeline[:, safe]                       # [ch, nB, block]
+        fr = jnp.where(jnp.asarray(valid)[None], fr, 0.0)
+        return jnp.moveaxis(fr, 0, 1)                # [nB, ch, block]
+
+    spectra = stft.analyze(gather_frames(plan.frame_idx), plan.basis)
+    n_b = spectra.shape[0]
+    if len(plan.re_rows):
+        re_spec = stft.analyze(gather_frames(plan.re_frame_idx), plan.basis)
+        prev_spectra = (jnp.zeros_like(spectra)
+                        .at[jnp.asarray(plan.re_rows)].set(re_spec))
+    else:
+        prev_spectra = jnp.zeros_like(spectra)
+
+    # ---- spectral scan -----------------------------------------------------
+    xs = spectral.BlockInputs(
+        spectrum=spectra,
+        prev_spectrum=prev_spectra,
+        new_spectrum=jnp.asarray(plan.arrays["new_spectrum"]),
+        reanalyse=jnp.asarray(plan.arrays["reanalyse"]),
+        time_factor=jnp.asarray(plan.arrays["time_factor"]),
+    )
+    carry0 = spectral.SpectralCarry.initial(plan.consts, seed)
+
+    def step(carry, x):
+        return spectral.process_block(carry, x, controls, flags, plan.consts)
+
+    _, out_specs = jax.lax.scan(step, carry0, xs)
+
+    # ---- synthesis + overlap-add ------------------------------------------
+    blocks_t = stft.synthesize(out_specs, plan.basis)    # [nB, ch, block]
+    ring = _overlap_add(blocks_t, plan.arrays["out_pos"], sch.ring_len,
+                        cfg.block_samples, cfg.interval_samples)
+
+    # ---- WOLA normalization + exact() assembly ----------------------------
+    w = jnp.asarray(plan.weight)
+    L = sch.preroll_len
+    preroll = ring[:, :L] / w[:L]
+    # outputSeek: negate + reverse the pre-roll into the ring (:198-203)
+    ring = ring.at[:, L:2 * L].add(-preroll[:, ::-1])
+    main = ring[:, L:L + sch.main_out] / w[L:L + sch.main_out]
+    fz0 = L + sch.main_out
+    flush_zero = ring[:, fz0:fz0 + sch.flush_block_out] / w[fz0:fz0 + sch.flush_block_out]
+    head = fz0 + sch.flush_block_out
+    T = sch.tail_len
+    tail_a = ring[:, head:head + T] / w[head:head + T]
+    tail_b = ring[:, head + T:head + 2 * T] / w[head + T:head + 2 * T]
+    tail = tail_a - tail_b[:, ::-1]
+    return jnp.concatenate([main, flush_zero, tail], axis=1)
+
+
+def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
+    """Compiled exact() renderer for one plan; vmap over a batch axis upstream."""
+
+    @jax.jit
+    def run(audio, controls, seed=0):
+        return render_exact(audio, plan, controls, flags, seed)
+
+    return run

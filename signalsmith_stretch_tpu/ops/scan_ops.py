@@ -1,0 +1,77 @@
+"""Log-depth scan formulations of the reference's sequential bin sweeps.
+
+The reference sweeps bins with first-order recurrences (energy slew smoothing,
+signalsmith-stretch.h:816-848; formant envelope decay max/min passes,
+:984-1007).  On TPU these become `lax.associative_scan`s:
+
+  linear IIR      y_b = (1-s) y_{b-1} + s x_b      -> affine composition
+  decay max       y_b = max(x_b, d y_{b-1})        -> (value, coef) max-plus
+  decay min       y_b = min(x_b, d y_{b-1})        -> (value, coef) min-plus
+
+Each element is (v, c) representing y -> op(v, c*y); composition is
+  (v1,c1) then (v2,c2)  =  (op(v2, c2*v1), c2*c1)
+with the coefficient product clamped to stay finite (the clamp only engages
+once the initial value's contribution is far below/above every local term, so
+results match the sequential sweep to float rounding).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_COEF_CLAMP = 1e20
+
+
+def iir_forward(x: jnp.ndarray, init, slew) -> tuple:
+    """y_b = y_{b-1} + (x_b - y_{b-1})*slew along the last axis.
+
+    Returns (y, final) where final == y[..., -1].
+    """
+    a = jnp.full_like(x, 1.0 - slew)
+    b = x * slew
+
+    def combine(l, r):
+        return (r[0] * l[0], r[0] * l[1] + r[1])
+
+    ca, cb = jax.lax.associative_scan(combine, (a, b), axis=-1)
+    y = ca * init[..., None] + cb if jnp.ndim(init) else ca * init + cb
+    return y, y[..., -1]
+
+
+def iir_backward(x: jnp.ndarray, init, slew) -> tuple:
+    y, fin = iir_forward(x[..., ::-1], init, slew)
+    return y[..., ::-1], fin
+
+
+def _decay_scan(x, init, coef, op):
+    c = jnp.full_like(x, coef) if jnp.ndim(coef) == 0 else jnp.broadcast_to(
+        coef[..., None], x.shape)
+
+    def combine(l, r):
+        v = op(r[0], r[1] * l[0])
+        cc = jnp.clip(r[1] * l[1], -_COEF_CLAMP, _COEF_CLAMP)
+        return (v, cc)
+
+    cv, cc = jax.lax.associative_scan(combine, (x, c), axis=-1)
+    init_b = init[..., None] if jnp.ndim(init) else init
+    y = op(cv, cc * init_b)
+    return y, y[..., -1]
+
+
+def decay_max_forward(x, init, decay):
+    """y_b = max(x_b, decay*y_{b-1}) along last axis -> (y, final)."""
+    return _decay_scan(x, init, decay, jnp.maximum)
+
+
+def decay_max_backward(x, init, decay):
+    y, fin = _decay_scan(x[..., ::-1], init, decay, jnp.maximum)
+    return y[..., ::-1], fin
+
+
+def decay_min_forward(x, init, decay):
+    return _decay_scan(x, init, decay, jnp.minimum)
+
+
+def decay_min_backward(x, init, decay):
+    y, fin = _decay_scan(x[..., ::-1], init, decay, jnp.minimum)
+    return y[..., ::-1], fin
