@@ -130,7 +130,8 @@ class SignalsmithStretch:
                             or (self._formant_compensation and mapped))
         return SpectralFlags(mapped=mapped, process_formants=process_formants,
                              formant_compensation=self._formant_compensation,
-                             custom_map=self._custom_map)
+                             custom_map=self._custom_map,
+                             formant_auto=float(self._formant_base_freq) <= 0)
 
     # ---- offline rendering -------------------------------------------------
     def exact(self, audio, output_samples: int) -> Tuple[np.ndarray, bool]:

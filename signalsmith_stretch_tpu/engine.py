@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -113,13 +114,21 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     timeline = _build_timeline(audio, plan)
 
     # ---- analysis (batched over blocks) -----------------------------------
-    # gather indices may be negative for the first frames (zero history)
+    # frame starts are static -> static slices (fused memcpys), not gathers;
+    # starts may be negative for the first frames (conceptual zero history)
+    block = cfg.block_samples
+
     def gather_frames(idx: np.ndarray) -> jnp.ndarray:
-        valid = idx >= 0
-        safe = np.maximum(idx, 0)
-        fr = timeline[:, safe]                       # [ch, nB, block]
-        fr = jnp.where(jnp.asarray(valid)[None], fr, 0.0)
-        return jnp.moveaxis(fr, 0, 1)                # [nB, ch, block]
+        starts = idx[:, 0]
+        rows = []
+        for s in starts.tolist():
+            if s >= 0:
+                rows.append(timeline[:, s:s + block])
+            else:
+                pad = jnp.zeros((timeline.shape[0], -s), jnp.float32)
+                rows.append(jnp.concatenate(
+                    [pad, timeline[:, 0:block + s]], axis=1))
+        return jnp.stack(rows, axis=0)               # [nB, ch, block]
 
     spectra = stft.analyze(gather_frames(plan.frame_idx), plan.basis)
     n_b = spectra.shape[0]
@@ -130,20 +139,30 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     else:
         prev_spectra = jnp.zeros_like(spectra)
 
-    # ---- spectral scan -----------------------------------------------------
-    xs = spectral.BlockInputs(
-        spectrum=spectra,
-        prev_spectrum=prev_spectra,
-        new_spectrum=jnp.asarray(plan.arrays["new_spectrum"]),
-        reanalyse=jnp.asarray(plan.arrays["reanalyse"]),
-        time_factor=jnp.asarray(plan.arrays["time_factor"]),
-    )
-    carry0 = spectral.SpectralCarry.initial(plan.consts, seed)
+    # ---- spectral processing ----------------------------------------------
+    mode = os.environ.get("SST_ENGINE", "wavefront")
+    if mode == "wavefront":
+        # batched precompute + diagonal sweep (wavefront.py)
+        from . import wavefront
+        out_specs = wavefront.spectral_all_blocks(
+            spectra, prev_spectra, plan.arrays, controls, flags,
+            plan.consts, seed)
+    else:
+        # reference per-block scan (streaming-engine semantics)
+        xs = spectral.BlockInputs(
+            spectrum=spectra,
+            prev_spectrum=prev_spectra,
+            new_spectrum=jnp.asarray(plan.arrays["new_spectrum"]),
+            reanalyse=jnp.asarray(plan.arrays["reanalyse"]),
+            time_factor=jnp.asarray(plan.arrays["time_factor"]),
+        )
+        carry0 = spectral.SpectralCarry.initial(plan.consts, seed)
 
-    def step(carry, x):
-        return spectral.process_block(carry, x, controls, flags, plan.consts)
+        def step(carry, x):
+            return spectral.process_block(carry, x, controls, flags,
+                                          plan.consts)
 
-    _, out_specs = jax.lax.scan(step, carry0, xs)
+        _, out_specs = jax.lax.scan(step, carry0, xs)
 
     # ---- synthesis + overlap-add ------------------------------------------
     blocks_t = stft.synthesize(out_specs, plan.basis)    # [nB, ch, block]

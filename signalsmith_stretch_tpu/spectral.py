@@ -90,10 +90,14 @@ class SpectralFlags:
     process_formants: bool        # (:310)
     formant_compensation: bool
     custom_map: Optional[Callable] = None
+    # formantBaseFreq <= 0 => run the pitch estimator (:982-983); static so
+    # the (sequential) estimator can be skipped entirely when a base is given
+    formant_auto: bool = True
 
     def __hash__(self):
         return hash((self.mapped, self.process_formants,
-                     self.formant_compensation, id(self.custom_map)))
+                     self.formant_compensation, id(self.custom_map),
+                     self.formant_auto))
 
 
 class Controls(NamedTuple):
@@ -260,10 +264,16 @@ def _peaks_and_map(energy, smoothed, controls, flags, consts):
 # ---------------------------------------------------------------------------
 # Pitch estimation (signalsmith-stretch.h:927-968)
 # ---------------------------------------------------------------------------
-def _estimate_frequency(metric, carry: SpectralCarry):
-    """Top-3 local-maxima insertion scan + harmonic-spacing heuristic."""
+def _top3_local_maxima(metric):
+    """Insertion scan for the top-3 local maxima (:931-948).
+
+    metric [..., B]; returns (i0, v0, i1, v1, i2, v2) with leading dims
+    preserved (the scan is over bins, vectorized over everything else)."""
     B = metric.shape[-1]
-    m_prev, m_cur, m_next = metric[:-2], metric[1:-1], metric[2:]
+    lead = metric.shape[:-1]
+    m_prev = jnp.moveaxis(metric[..., :-2], -1, 0)
+    m_cur = jnp.moveaxis(metric[..., 1:-1], -1, 0)
+    m_next = jnp.moveaxis(metric[..., 2:], -1, 0)
     b_arr = jnp.arange(1, B - 1, dtype=jnp.int32)
 
     def step(state, xs):
@@ -282,11 +292,14 @@ def _estimate_frequency(metric, carry: SpectralCarry):
         n_v2 = jnp.where(is_max & gt0 & gt1 & gt2, e, v2)
         return (n_i0, n_v0, n_i1, n_v1, n_i2, n_v2), None
 
-    init = (jnp.int32(0), metric[0], jnp.int32(0), metric[0],
-            jnp.int32(0), metric[0])
-    (i0, v0, i1, v1, i2, v2), _ = jax.lax.scan(
-        step, init, (b_arr, m_cur, m_prev, m_next))
+    zi = jnp.zeros(lead, jnp.int32)
+    init = (zi, metric[..., 0], zi, metric[..., 0], zi, metric[..., 0])
+    state, _ = jax.lax.scan(step, init, (b_arr, m_cur, m_prev, m_next))
+    return state
 
+
+def _peak_estimate(i0, v0, i1, v1, i2, v2):
+    """Harmonic-spacing heuristic (:950-959) -> (peakEstimate, weight)."""
     pe = i2
     c1 = v1 > v2 * f32(0.1)
     diff = jnp.abs(pe - i1)
@@ -296,8 +309,12 @@ def _estimate_frequency(metric, carry: SpectralCarry):
     diff2 = jnp.abs(pe - i0)
     ok2 = c2 & (diff2 > pe // 8) & (diff2 < pe * 7 // 8)
     pe = jnp.where(ok2, pe % jnp.maximum(diff2, 1), pe)
+    return pe, v2
 
-    weight = v2
+
+def _estimate_frequency(metric, carry: SpectralCarry):
+    """Full per-block estimate with the exponential smoothing state (:960-965)."""
+    pe, weight = _peak_estimate(*_top3_local_maxima(metric))
     few = carry.freq_est_weighted + (pe.astype(jnp.float32) * weight
                                      - carry.freq_est_weighted) * f32(0.25)
     fw = carry.freq_est_weight + (weight - carry.freq_est_weight) * f32(0.25)
@@ -312,14 +329,17 @@ def _update_formants(in_energy, carry, controls, flags, consts):
     B = consts.bands
     metric = jnp.sum(in_energy, axis=0)  # [B]
 
-    est, few, fw = _estimate_frequency(metric, carry)
-    use_base = controls.formant_base_freq > 0
-    freq_estimate = jnp.where(use_base,
-                              _freq_to_band(controls.formant_base_freq, consts),
-                              est)
-    # estimateFrequency() side effects only happen when it is called (:983)
-    few = jnp.where(use_base, carry.freq_est_weighted, few)
-    fw = jnp.where(use_base, carry.freq_est_weight, fw)
+    if flags.formant_auto:
+        est, few, fw = _estimate_frequency(metric, carry)
+        use_base = controls.formant_base_freq > 0
+        freq_estimate = jnp.where(
+            use_base, _freq_to_band(controls.formant_base_freq, consts), est)
+        # estimateFrequency() side effects only happen when it is called (:983)
+        few = jnp.where(use_base, carry.freq_est_weighted, few)
+        fw = jnp.where(use_base, carry.freq_est_weight, fw)
+    else:
+        freq_estimate = _freq_to_band(controls.formant_base_freq, consts)
+        few, fw = carry.freq_est_weighted, carry.freq_est_weight
 
     decay = f32(1) - f32(1) / (freq_estimate * f32(0.5) + f32(1))
     env = metric
