@@ -1,11 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark: batched stereo 48 kHz time-stretch throughput per chip.
+"""Benchmark: batched stereo 48 kHz throughput per chip + BASELINE configs.
 
-Prints ONE JSON line:
+Prints ONE JSON line for the driver:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+and writes the full per-config report to bench_report.json.
 
-Config matches the BASELINE north star: batched 10 s stereo 48 kHz clips,
-presetDefault, 1.25x stretch; baseline target = 2000x realtime per chip.
+Timing notes (this environment): block_until_ready is unreliable and bulk
+device->host transfer runs ~30 MB/s through the relay, so every measurement
+syncs via float() of an on-device checksum.  There is a fixed ~25 ms dispatch
+round-trip; batches are sized to dominate it.
 """
 import json
 import os
@@ -19,60 +22,91 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from signalsmith_stretch_tpu import engine, spectral  # noqa: E402
-from signalsmith_stretch_tpu.config import StretchConfig  # noqa: E402
-from signalsmith_stretch_tpu.parallel import batch as pbatch  # noqa: E402
+from signalsmith_stretch_tpu.models import StretchModel  # noqa: E402
 
 
-def main():
-    batch = int(os.environ.get("SST_BENCH_BATCH", "32"))
-    seconds = float(os.environ.get("SST_BENCH_SECONDS", "10"))
-    rate = 48000
-    time_factor = 1.25
-    reps = int(os.environ.get("SST_BENCH_REPS", "3"))
-
-    cfg = StretchConfig.preset_default(2, rate)
-    in_len = int(rate * seconds)
-    out_len = int(round(in_len * time_factor))
-
-    rng = np.random.default_rng(0)
+def make_corpus(batch, channels, in_len, rate, seed=0):
+    rng = np.random.default_rng(seed)
     t = np.arange(in_len) / rate
     base = (0.4 * np.sin(2 * np.pi * 220 * t)
             + 0.2 * np.sin(2 * np.pi * 440 * t)
             + 0.05 * rng.standard_normal(in_len))
-    clips = np.stack([np.stack([base, np.roll(base, 5)])] * batch).astype(np.float32)
+    clips = np.stack([np.stack([np.roll(base, 13 * c + 7 * b)
+                                for c in range(channels)])
+                      for b in range(batch)]).astype(np.float32)
     clips += 0.01 * rng.standard_normal(clips.shape).astype(np.float32)
+    return clips
 
-    plan = engine.build_exact_plan(cfg, in_len, out_len)
-    controls = spectral.Controls.make()
-    flags = spectral.SpectralFlags(mapped=False, process_formants=False,
-                                   formant_compensation=False)
 
-    base = pbatch.batch_render(plan, flags)
-    # Reduce to an on-device checksum: block_until_ready is unreliable on the
-    # relay-attached backend and bulk device->host transfer is slow; a float()
-    # of a jitted scalar is the only trustworthy sync point.
-    fn = jax.jit(lambda x, c, s: jnp.sum(jnp.abs(base(x, c, s))))
+def run_config(name, model, clips, rate, reps):
+    batch = clips.shape[0]
     seeds = jnp.arange(batch, dtype=jnp.int32)
+
+    @jax.jit
+    def fn(x, s):
+        return jnp.sum(jnp.abs(model.batched(x, s)))
+
     x = jax.device_put(jnp.asarray(clips))
-
-    v = fn(x, controls, seeds)
-    float(v)  # compile + warmup + sync
-
+    t0 = time.perf_counter()
+    float(fn(x, seeds))
+    compile_s = time.perf_counter() - t0
     times = []
-    for r in range(reps):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        v = fn(x, controls, seeds)
-        float(v)
+        float(fn(x, seeds))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    audio_seconds = batch * seconds
-    rtf = audio_seconds / dt
+    audio_seconds = batch * clips.shape[2] / rate
+    return dict(name=name, batch=batch, seconds=round(dt, 4),
+                compile_seconds=round(compile_s, 1),
+                audio_seconds=audio_seconds,
+                realtime_factor=round(audio_seconds / dt, 1))
+
+
+def main():
+    batch = int(os.environ.get("SST_BENCH_BATCH", "16"))
+    seconds = float(os.environ.get("SST_BENCH_SECONDS", "10"))
+    reps = int(os.environ.get("SST_BENCH_REPS", "3"))
+    quick = os.environ.get("SST_BENCH_QUICK") == "1"
+
+    results = []
+
+    def cfg_case(name, rate, channels, time_factor, **build_kw):
+        in_len = int(rate * seconds)
+        out_len = int(round(in_len * time_factor))
+        model = StretchModel.build(channels=channels, sample_rate=rate,
+                                   in_samples=in_len, out_samples=out_len,
+                                   **build_kw)
+        clips = make_corpus(batch, channels, in_len, rate)
+        results.append(run_config(name, model, clips, rate, reps))
+
+    # BASELINE.json configs
+    cfg_case("stereo48k_default_1.25x", 48000, 2, 1.25)
+    if not quick:
+        cfg_case("mono44k_cheaper_1.25x", 44100, 1, 1.25, cheaper=True)
+        cfg_case("stereo48k_pitch+12_tonality8k", 48000, 2, 1.0,
+                 semitones=12, tonality_hz=8000)
+        cfg_case("formant_vocal_shift", 48000, 2, 1.0, semitones=5,
+                 tonality_hz=8000, formant_semitones=3,
+                 formant_compensation=True, formant_base_hz=220)
+        cfg_case("stretch0.8x_custom_sweep", 48000, 2, 0.8, semitones=-3,
+                 tonality_hz=6000)
+        cfg_case("split_streaming_parity", 48000, 2, 1.25, split=True)
+
+    primary = results[0]
+    report = dict(configs=results,
+                  batch=batch, clip_seconds=seconds,
+                  engine=os.environ.get("SST_ENGINE", "wavefront"),
+                  device=str(jax.devices()[0]))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+
     print(json.dumps({
         "metric": "realtime_factor_stereo48k_stretch1.25_batch%d" % batch,
-        "value": round(rtf, 1),
+        "value": primary["realtime_factor"],
         "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtf / 2000.0, 3),
+        "vs_baseline": round(primary["realtime_factor"] / 2000.0, 3),
     }))
 
 

@@ -12,9 +12,23 @@ import wave
 
 import numpy as np
 
+try:  # native codec (native/sstio.cpp, built by `make -C native`)
+    from .. import _sstio
+except ImportError:  # pragma: no cover - fallback when not built
+    _sstio = None
+
 
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Returns ([channels, samples] float32 in [-1, 1), sample_rate)."""
+    if _sstio is not None:
+        with open(path, "rb") as f:
+            data = f.read()
+        try:
+            ch, rate, planar = _sstio.decode_wav16(data)
+            return (np.frombuffer(planar, np.float32).reshape(ch, -1).copy(),
+                    rate)
+        except ValueError:
+            pass  # non-canonical WAV; fall through to the stdlib parser
     with wave.open(path, "rb") as w:
         ch = w.getnchannels()
         rate = w.getframerate()
@@ -29,6 +43,13 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 def write_wav(path: str, audio: np.ndarray, sample_rate: int):
     """audio [channels, samples] float32; clipped and quantized like oracle/wav.h."""
+    if _sstio is not None:
+        audio = np.ascontiguousarray(audio, np.float32)
+        data = _sstio.encode_wav16(audio.tobytes(), audio.shape[0],
+                                   int(sample_rate))
+        with open(path, "wb") as f:
+            f.write(data)
+        return
     audio = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
     pcm = np.where(audio >= 0, audio * 32767.0 + 0.5,
                    audio * 32768.0 - 0.5).astype(np.int16)

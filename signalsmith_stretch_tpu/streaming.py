@@ -57,7 +57,19 @@ _BIG = np.int32(1 << 30)
 
 def initial_state(cfg: StretchConfig, consts: spectral.SpectralConsts,
                   seed: int = 0) -> StreamState:
-    ch, block, H = cfg.channels, cfg.block_samples, cfg.interval_samples
+    """Fresh stream state.  Built under jit: eager complex-array creation is
+    unimplemented on some backends (axon relay)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+    def build(ch, block, H, seed):
+        return _initial_state_impl(ch, block, H, seed, consts)
+
+    return build(cfg.channels, cfg.block_samples, cfg.interval_samples,
+                 int(seed))
+
+
+def _initial_state_impl(ch, block, H, seed, consts) -> StreamState:
     return StreamState(
         carry=spectral.SpectralCarry.initial(consts, seed),
         in_hist=jnp.zeros((ch, block + H + 1), jnp.float32),
@@ -232,6 +244,24 @@ def _seek_impl(state: StreamState, audio_in: jnp.ndarray,
     )
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _add_preroll(state: StreamState, preroll, out_lat: int) -> StreamState:
+    return state._replace(
+        out_tail=state.out_tail.at[:, :out_lat].add(-preroll[:, ::-1]))
+
+
+@jax.jit
+def _flush_reset(state: StreamState) -> StreamState:
+    return state._replace(
+        out_tail=jnp.zeros_like(state.out_tail),
+        weight_tail=jnp.zeros_like(state.weight_tail),
+        in_hist=jnp.zeros_like(state.in_hist),
+        carry=state.carry._replace(
+            prev_input=jnp.zeros_like(state.carry.prev_input),
+            output=jnp.zeros_like(state.carry.output)),
+    )
+
+
 class StreamingStretch:
     """Streaming facade bound to one configuration + control setting.
 
@@ -273,9 +303,17 @@ class StreamingStretch:
     # ---- seek -------------------------------------------------------------
     def seek(self, audio_in, playback_rate: float):
         audio_in = jnp.asarray(audio_in, jnp.float32)
-        self.state = _seek_impl(self.state, audio_in,
-                                jnp.float32(playback_rate), self.cfg,
-                                self.basis)
+        key = int(audio_in.shape[1])
+        fn = self._process_cache.get(("seek", key))
+        if fn is None:
+            cfg, basis = self.cfg, self.basis
+
+            @jax.jit
+            def fn(state, x, rate):
+                return _seek_impl(state, x, rate, cfg, basis)
+
+            self._process_cache[("seek", key)] = fn
+        self.state = fn(self.state, audio_in, jnp.float32(playback_rate))
 
     def seek_length(self) -> int:
         return self.cfg.seek_length
@@ -292,9 +330,8 @@ class StreamingStretch:
         self.seek(audio_in[:, :seek_samples], playback_rate)
         preroll = self.process(audio_in[:, seek_samples:], out_lat)
         # negate + reverse into the output tail (:198-203)
-        self.state = self.state._replace(
-            out_tail=self.state.out_tail.at[:, :out_lat].add(
-                -jnp.asarray(preroll[:, ::-1])))
+        self.state = _add_preroll(self.state, jnp.asarray(preroll.copy()),
+                                  out_lat)
 
     def output_seek_length(self, playback_rate: float) -> int:
         return self.cfg.output_seek_length(playback_rate)
@@ -316,14 +353,7 @@ class StreamingStretch:
         b = sig[:, tail:2 * tail] / w[tail:2 * tail]
         parts.append(a - b[:, ::-1])
         # full reset of rings + phase state (:456-463), keeping Band.input
-        self.state = self.state._replace(
-            out_tail=jnp.zeros_like(self.state.out_tail),
-            weight_tail=jnp.zeros_like(self.state.weight_tail),
-            in_hist=jnp.zeros_like(self.state.in_hist),
-            carry=self.state.carry._replace(
-                prev_input=jnp.zeros_like(self.state.carry.prev_input),
-                output=jnp.zeros_like(self.state.carry.output)),
-        )
+        self.state = _flush_reset(self.state)
         return np.concatenate(parts, axis=1)
 
     # ---- state checkpointing ----------------------------------------------

@@ -82,14 +82,33 @@ def unskew(s: jnp.ndarray, step: int, bands: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Fractional-bin interpolation strategies
 # ---------------------------------------------------------------------------
-def _interp_gather(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """rows [nB, B], pos [nB, B] -> linear interp with zero outside [0, B)."""
+def _lohi_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """Pack (x[j-1], x[j]) pairs into one complex row [..., B+2] so a single
+    c64 gather at j = li+1 yields both interpolation taps (TPU gathers cost
+    per element, so this halves the dominant mapped-path cost)."""
+    z1 = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    z2 = jnp.zeros(x.shape[:-1] + (2,), x.dtype)
+    return jax.lax.complex(jnp.concatenate([z1, x, z1], -1),
+                           jnp.concatenate([x, z2], -1))
+
+
+def _interp_packed(packed: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Linear interp of the original rows at `pos` using a _lohi_pack row;
+    matches getFractional's zero-outside-[0,B) semantics exactly."""
+    B = packed.shape[-1] - 2
     low = jnp.floor(pos)
     li = low.astype(jnp.int32)
     frac = (pos - low).astype(jnp.float32)
-    lo = spectral._gather_band(rows, li)
-    hi = spectral._gather_band(rows, li + 1)
-    return lo + (hi - lo) * frac
+    j = li + 1
+    valid = (j >= 0) & (j <= B + 1)
+    g = jnp.take_along_axis(packed, jnp.clip(j, 0, B + 1), axis=-1)
+    g = jnp.where(valid, g, jnp.zeros((), packed.dtype))
+    return g.real + (g.imag - g.real) * frac
+
+
+def _interp_gather(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """rows [nB, B], pos [nB, B] -> linear interp with zero outside [0, B)."""
+    return _interp_packed(_lohi_pack(rows), pos)
 
 
 def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.ndarray:
@@ -247,19 +266,15 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
     # ---- preliminary-prediction constants (:697-719) ----------------------
     if flags.mapped:
-        low = jnp.floor(input_bin)
-        li = low.astype(jnp.int32)
-        fr = (input_bin - low)
+        def interp_c(zrows, pos):
+            return jax.lax.complex(
+                _interp_packed(_lohi_pack(zrows.real), pos),
+                _interp_packed(_lohi_pack(zrows.imag), pos))
 
-        def interp_rows(rows):   # rows [nB, B] (per channel)
-            lo_ = spectral._gather_band(rows, li)
-            hi_ = spectral._gather_band(rows, li + 1)
-            return lo_ + (hi_ - lo_) * fr
-
-        pe = [interp_rows(in_energy[:, c]) * jnp.maximum(f32(0), freq_grad)
-              for c in range(ch)]
-        pi = [interp_rows(input_eff[:, c]) for c in range(ch)]
-        prev_i = [interp_rows(prev_eff[:, c]) for c in range(ch)]
+        pe = [_interp_packed(_lohi_pack(in_energy[:, c]), input_bin)
+              * jnp.maximum(f32(0), freq_grad) for c in range(ch)]
+        pi = [interp_c(input_eff[:, c], input_bin) for c in range(ch)]
+        prev_i = [interp_c(prev_eff[:, c], input_bin) for c in range(ch)]
     else:
         pe = [in_energy[:, c] for c in range(ch)]
         pi = [input_eff[:, c] for c in range(ch)]
@@ -295,25 +310,33 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
     margin = int(np.ceil(longv * float(tf.max()))) + 2
 
-    def vote_gathers(rows):
-        """rows [nB, B] -> (short_down, long_down, up_short, up_long)."""
-        if flags.mapped:
-            base = input_bin
-        else:
-            base = b_f[None, :]
+    def vote_gathers(z):
+        """z complex [nB, B] -> (short_down, long_down, up_short, up_long)."""
+        base = input_bin if flags.mapped else b_f[None, :]
+
+        def make_at(zrows):
+            pr, pim = _lohi_pack(zrows.real), _lohi_pack(zrows.imag)
+
+            def at(pos):
+                return jax.lax.complex(_interp_packed(pr, pos),
+                                       _interp_packed(pim, pos))
+
+            return at
+
         if any_random:
-            sd = _interp_gather(rows, base - btf1)
-            ld = _interp_gather(rows, base - f32(longv) * btf1)
-            us = _interp_gather(rows, _shift_up(base, 1) - btf2)
-            ul = _interp_gather(rows, _shift_up(base, longv)
-                                - f32(longv) * btf2)
+            at = make_at(z)
+            sd = at(base - btf1)
+            ld = at(base - f32(longv) * btf1)
+            us = at(_shift_up(base, 1) - btf2)
+            ul = at(_shift_up(base, longv) - f32(longv) * btf2)
             return sd, ld, us, ul
         if flags.mapped:
-            sd = _interp_gather(rows, base - tf_j[:, None])
-            ld = _interp_gather(rows, base - f32(longv) * tf_j[:, None])
+            at = make_at(z)
+            sd = at(base - tf_j[:, None])
+            ld = at(base - f32(longv) * tf_j[:, None])
         else:
-            sd = _interp_shift(rows, tf_j, margin)
-            ld = _interp_shift(rows, f32(longv) * tf_j, margin)
+            sd = _interp_shift(z, tf_j, margin)
+            ld = _interp_shift(z, f32(longv) * tf_j, margin)
         # same binTimeFactor in both vote branches => up positions are the
         # down positions shifted one (or longv) bins up (:764-786)
         us = _shift_up(sd, 1)
@@ -384,41 +407,92 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
     return jnp.moveaxis(out, 2, 1)                 # [nB, ch, B]
 
 
-def _run_sweep(inputs: SweepInputs, longv: int):
+def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 16):
+    """Scan over diagonals, `unroll` diagonals per step (fatter DMA, fewer
+    sequential steps; the in-step chain runs on register values).
+
+    All planes are packed into ONE [nB, B, planes] array before skewing so the
+    pad+cut reshape of the skew runs as a single copy chain (15 separate skews
+    measured ~7x slower than the equivalent single pass)."""
     nB = inputs.a1.shape[0]
     ch = len(inputs.pe)
     step = longv + 1
+    D0 = inputs.a1.shape[1] + (nB - 1) * step
+    K = unroll
+    D = -(-D0 // K) * K
 
-    def prep(x):
-        return jnp.moveaxis(skew(x, step), 0, 1)   # [D, nB]
+    arrs = []
+    for name in ("a1", "a2", "d1", "d2"):
+        z = getattr(inputs, name)
+        arrs += [z.real, z.imag]
+    arrs.append(inputs.mc.astype(jnp.float32))
+    for c in range(ch):
+        arrs.append(inputs.pe[c])
+    for c in range(ch):
+        arrs += [inputs.pi[c].real, inputs.pi[c].imag]
+    packed = jnp.stack(arrs, axis=-1)              # [nB, B, P]
+    sk = skew(packed, step)                        # [nB, D0, P]
+    sk = jnp.transpose(sk, (1, 2, 0))              # [D0, P, nB] (bins in lanes)
+    sk = jnp.pad(sk, [(0, D - D0), (0, 0), (0, 0)])
+    sk = sk.reshape(D // K, K, -1, nB)
 
-    xs = jax.tree_util.tree_map(prep, inputs)
+    def unpack(row):
+        """row [K, P, nB] -> SweepInputs-like views with [K, nB] planes."""
+        C = jax.lax.complex
+        i = [0]
+
+        def take():
+            v = row[:, i[0]]
+            i[0] += 1
+            return v
+
+        a1 = C(take(), take())
+        a2 = C(take(), take())
+        d1 = C(take(), take())
+        d2 = C(take(), take())
+        mc = take().astype(jnp.int32)
+        pe = tuple(take() for _ in range(ch))
+        pi = tuple(C(take(), take()) for _ in range(ch))
+        return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc, pe=pe, pi=pi)
+
+    xs = sk
 
     def shift_k(x):
         return jnp.concatenate(
             [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], axis=-1)
 
-    def body(ring, x):
-        mc = x.mc
-        prev1 = [r[-1] for r in ring]
-        prevl = [r[0] for r in ring]
+    def cell(ring_list, x, j):
+        """ring_list: newest-last python list of [ch][nB] rows."""
+        mc = x.mc[j]
+        prev1 = [ring_list[-1][c] for c in range(ch)]
+        prevl = [ring_list[0][c] for c in range(ch)]
         down1 = _sel(mc, prev1)
         downl = _sel(mc, prevl)
         up1 = _sel(mc, [shift_k(p) for p in prevl])
         upl = _sel(mc, [shift_k(p) for p in prev1])
-        phase = (x.d1 * down1 + x.d2 * downl) + x.a1 * up1 + x.a2 * upl
-        pe_max = _sel(mc, list(x.pe))
-        pi_max = _sel(mc, list(x.pi))
+        phase = (x.d1[j] * down1 + x.d2[j] * downl) + x.a1[j] * up1 + x.a2[j] * upl
+        pe_max = _sel(mc, [x.pe[c][j] for c in range(ch)])
+        pi_max = _sel(mc, [x.pi[c][j] for c in range(ch)])
         out_main = _make_output(pe_max, pi_max, phase)
         outs = []
         for c in range(ch):
-            ct = x.pi[c] * jnp.conj(pi_max)
-            locked = _make_output(x.pe[c], x.pi[c], out_main * ct)
+            ct = x.pi[c][j] * jnp.conj(pi_max)
+            locked = _make_output(x.pe[c][j], x.pi[c][j], out_main * ct)
             outs.append(jnp.where(mc == c, out_main, locked))
-        ring2 = tuple(jnp.concatenate([r[1:], o[None]], axis=0)
-                      for r, o in zip(ring, outs))
-        return ring2, jnp.stack(outs, axis=0)
+        return outs
 
-    ring0 = tuple(jnp.zeros((longv, nB), inputs.a1.dtype) for _ in range(ch))
-    _, outs = jax.lax.scan(body, ring0, xs)
-    return outs                                    # [D, ch, nB]
+    def body(ring, row):
+        x = unpack(row)
+        # ring: [longv, ch, nB]; list view newest-last
+        ring_list = [[ring[l, c] for c in range(ch)] for l in range(longv)]
+        emitted = []
+        for j in range(K):
+            outs = cell(ring_list, x, j)
+            ring_list = ring_list[1:] + [outs]
+            emitted.append(jnp.stack(outs, axis=0))
+        ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
+        return ring2, jnp.stack(emitted, axis=0)   # [K, ch, nB]
+
+    ring0 = jnp.zeros((longv, ch, nB), inputs.a1.dtype)
+    _, outs = jax.lax.scan(body, ring0, xs)        # [D/K, K, ch, nB]
+    return outs.reshape(D, ch, nB)[:D0]            # [D0, ch, nB]
