@@ -30,22 +30,20 @@ f32 = np.float32
 
 def plan_chunks(cfg: StretchConfig, in_samples: int, out_samples: int,
                 n_chunks: int):
-    """Split the output into n_chunks; compute each chunk's input range.
+    """Split the output into n_chunks uniform windows (static shapes for
+    vmap) and compute input windows at the *global* rate.
 
-    Every chunk gets the same input window length (static shapes for vmap);
-    the time map follows exact()'s float32 rate arithmetic.
+    exact() maps its whole input buffer onto its whole output buffer
+    (output[0] <-> buffer[0]), so each chunk's in/out lengths must keep the
+    global ratio — the chunk input window is round(out_len * rate) samples
+    starting at round(out_edge * rate); drift vs the monolithic time map stays
+    below one sample per chunk.
     """
-    rate = f32(f32(in_samples) / f32(out_samples))
-    out_edges = [out_samples * i // n_chunks for i in range(n_chunks + 1)]
-    out_len = max(b - a for a, b in zip(out_edges, out_edges[1:]))
+    rate = float(np.float32(in_samples) / np.float32(out_samples))
+    out_len = -(-out_samples // n_chunks)
     out_edges = [min(i * out_len, out_samples) for i in range(n_chunks + 1)]
-
-    in_len = int(np.ceil(out_len * float(rate))) + cfg.seek_length + cfg.interval_samples
-    starts = []
-    for i in range(n_chunks):
-        in_pos = int(np.floor(out_edges[i] * float(rate)))
-        start = in_pos - cfg.seek_length
-        starts.append(start)
+    in_len = int(round(out_len * rate))
+    starts = [int(round(out_edges[i] * rate)) for i in range(n_chunks)]
     return out_edges, starts, in_len, out_len
 
 
@@ -56,48 +54,32 @@ def stretch_long(audio: np.ndarray, out_samples: int, cfg: StretchConfig,
 
     audio [ch, in_samples] -> [ch, out_samples].  The chunk axis is a plain
     vmap (shard it with parallel.batch.make_mesh + device_put for multi-chip).
+    Each chunk re-anchors through exact()'s outputSeek, so chunk outputs are
+    sample-aligned; they differ from a monolithic render only in phase
+    microstructure near chunk starts (fresh phase state; docs/PARITY.md).
     """
     ch, in_samples = audio.shape
     out_edges, starts, in_len, out_len = plan_chunks(
         cfg, in_samples, out_samples, n_chunks)
 
     # gather per-chunk input windows (zero-padded outside the clip)
-    padded = np.zeros((ch, in_samples + 2 * in_len), np.float32)
-    padded[:, in_len:in_len + in_samples] = audio
-    windows = np.stack([padded[:, in_len + s:in_len + s + in_len]
+    pad = in_len + 8
+    padded = np.zeros((ch, in_samples + 2 * pad), np.float32)
+    padded[:, pad:pad + in_samples] = audio
+    windows = np.stack([padded[:, pad + s:pad + s + in_len]
                         for s in starts])          # [n_chunks, ch, in_len]
 
-    # each chunk renders out_len samples aligned to its out_edge
     plan = engine.build_exact_plan(cfg, in_len, out_len)
 
     def run(w, s):
         return engine.render_exact(w, plan, controls, flags, seed=s)
 
     seeds = jnp.arange(n_chunks, dtype=jnp.int32) + seed
-    outs = jax.jit(jax.vmap(run))(jnp.asarray(windows), seeds)
-    outs = np.asarray(outs)
+    outs = np.asarray(jax.jit(jax.vmap(run))(jnp.asarray(windows), seeds))
 
     result = np.zeros((ch, out_samples), np.float32)
     for i in range(n_chunks):
         a, b = out_edges[i], out_edges[i + 1]
-        if b <= a:
-            continue
-        # chunk output is aligned so that sample `seek-related offset` == out edge
-        off = _chunk_output_offset(cfg, in_samples, out_samples, i, starts[i])
-        result[:, a:b] = outs[i][:, off:off + (b - a)]
+        if b > a:
+            result[:, a:b] = outs[i][:, :b - a]
     return result
-
-
-def plan_rate(cfg, in_len, out_len):
-    return float(np.float32(in_len) / np.float32(out_len))
-
-
-def _chunk_output_offset(cfg, in_samples, out_samples, i, start):
-    """Output samples of chunk i to skip so chunk output aligns to its edge.
-
-    exact() output sample 0 corresponds to input position `seekLength` region
-    start; chunk i's input window starts at `start = in_pos - seek_length`, so
-    its output sample 0 maps to input `start + seek_length = in_pos`, i.e.
-    exactly the chunk's first output sample.  No skip needed.
-    """
-    return 0

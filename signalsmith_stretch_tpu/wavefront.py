@@ -82,33 +82,21 @@ def unskew(s: jnp.ndarray, step: int, bands: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Fractional-bin interpolation strategies
 # ---------------------------------------------------------------------------
-def _lohi_pack(x: jnp.ndarray) -> jnp.ndarray:
-    """Pack (x[j-1], x[j]) pairs into one complex row [..., B+2] so a single
-    c64 gather at j = li+1 yields both interpolation taps (TPU gathers cost
-    per element, so this halves the dominant mapped-path cost)."""
-    z1 = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
-    z2 = jnp.zeros(x.shape[:-1] + (2,), x.dtype)
-    return jax.lax.complex(jnp.concatenate([z1, x, z1], -1),
-                           jnp.concatenate([x, z2], -1))
+def _interp_gather(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """rows [nB, B], pos [nB, B] -> linear interp with zero outside [0, B).
 
-
-def _interp_packed(packed: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Linear interp of the original rows at `pos` using a _lohi_pack row;
-    matches getFractional's zero-outside-[0,B) semantics exactly."""
-    B = packed.shape[-1] - 2
+    NOTE (this environment): XLA TPU gathers cost ~14 ns/element regardless of
+    index pattern or dtype, which makes the frequency-mapped regime
+    gather-bound (~12x realtime ceiling at bench shapes).  Complex-packed and
+    MXU one-hot alternatives measure neutral-to-worse (c64 gathers cost 2x,
+    one-hot matmuls drown in N-dimension padding); the real fix is a Pallas
+    interp kernel on hardware whose Mosaic DMA is not relay-bound."""
     low = jnp.floor(pos)
     li = low.astype(jnp.int32)
     frac = (pos - low).astype(jnp.float32)
-    j = li + 1
-    valid = (j >= 0) & (j <= B + 1)
-    g = jnp.take_along_axis(packed, jnp.clip(j, 0, B + 1), axis=-1)
-    g = jnp.where(valid, g, jnp.zeros((), packed.dtype))
-    return g.real + (g.imag - g.real) * frac
-
-
-def _interp_gather(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """rows [nB, B], pos [nB, B] -> linear interp with zero outside [0, B)."""
-    return _interp_packed(_lohi_pack(rows), pos)
+    lo = spectral._gather_band(rows, li)
+    hi = spectral._gather_band(rows, li + 1)
+    return lo + (hi - lo) * frac
 
 
 def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.ndarray:
@@ -266,15 +254,11 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
     # ---- preliminary-prediction constants (:697-719) ----------------------
     if flags.mapped:
-        def interp_c(zrows, pos):
-            return jax.lax.complex(
-                _interp_packed(_lohi_pack(zrows.real), pos),
-                _interp_packed(_lohi_pack(zrows.imag), pos))
-
-        pe = [_interp_packed(_lohi_pack(in_energy[:, c]), input_bin)
+        pe = [_interp_gather(in_energy[:, c], input_bin)
               * jnp.maximum(f32(0), freq_grad) for c in range(ch)]
-        pi = [interp_c(input_eff[:, c], input_bin) for c in range(ch)]
-        prev_i = [interp_c(prev_eff[:, c], input_bin) for c in range(ch)]
+        pi = [_interp_gather(input_eff[:, c], input_bin) for c in range(ch)]
+        prev_i = [_interp_gather(prev_eff[:, c], input_bin)
+                  for c in range(ch)]
     else:
         pe = [in_energy[:, c] for c in range(ch)]
         pi = [input_eff[:, c] for c in range(ch)]
@@ -313,27 +297,16 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     def vote_gathers(z):
         """z complex [nB, B] -> (short_down, long_down, up_short, up_long)."""
         base = input_bin if flags.mapped else b_f[None, :]
-
-        def make_at(zrows):
-            pr, pim = _lohi_pack(zrows.real), _lohi_pack(zrows.imag)
-
-            def at(pos):
-                return jax.lax.complex(_interp_packed(pr, pos),
-                                       _interp_packed(pim, pos))
-
-            return at
-
         if any_random:
-            at = make_at(z)
-            sd = at(base - btf1)
-            ld = at(base - f32(longv) * btf1)
-            us = at(_shift_up(base, 1) - btf2)
-            ul = at(_shift_up(base, longv) - f32(longv) * btf2)
+            sd = _interp_gather(z, base - btf1)
+            ld = _interp_gather(z, base - f32(longv) * btf1)
+            us = _interp_gather(z, _shift_up(base, 1) - btf2)
+            ul = _interp_gather(z, _shift_up(base, longv)
+                                - f32(longv) * btf2)
             return sd, ld, us, ul
         if flags.mapped:
-            at = make_at(z)
-            sd = at(base - tf_j[:, None])
-            ld = at(base - f32(longv) * tf_j[:, None])
+            sd = _interp_gather(z, base - tf_j[:, None])
+            ld = _interp_gather(z, base - f32(longv) * tf_j[:, None])
         else:
             sd = _interp_shift(z, tf_j, margin)
             ld = _interp_shift(z, f32(longv) * tf_j, margin)

@@ -108,3 +108,25 @@ def test_cli_dev_golden_regression(tmp_path, test_signal):
     assert dev_main(args) == 0          # snapshots the reference
     assert os.path.exists(outp + ".reference.npy")
     assert dev_main(args) == 0          # second run passes the -60 dB gate
+
+
+def test_checkpoint_save_load(tmp_path, test_signal):
+    """Stream state survives an npz round trip and resumes identically."""
+    from signalsmith_stretch_tpu import spectral
+    from signalsmith_stretch_tpu.streaming import StreamingStretch
+    from signalsmith_stretch_tpu.utils import checkpoint
+    sig, rate = test_signal
+    cfg = StretchConfig.preset_cheaper(1, rate, False)
+    s = StreamingStretch(cfg, spectral.Controls.make(),
+                         spectral.SpectralFlags(False, False, False), seed=4)
+    s.seek(sig[:, :cfg.input_latency], 1.0)
+    _ = s.process(sig[:, :4000], 4000)
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, s.state)
+    a = s.process(sig[:, 4000:8000], 4000)
+
+    s2 = StreamingStretch(cfg, spectral.Controls.make(),
+                          spectral.SpectralFlags(False, False, False), seed=9)
+    s2.state = checkpoint.load(path, s2.state)
+    b = s2.process(sig[:, 4000:8000], 4000)
+    np.testing.assert_array_equal(a, b)
