@@ -133,6 +133,37 @@ class SignalsmithStretch:
                              custom_map=self._custom_map,
                              formant_auto=float(self._formant_base_freq) <= 0)
 
+    # ---- streaming (signalsmith-stretch.h:139-464) -------------------------
+    def _stream(self):
+        from .streaming import StreamingStretch
+        flags = self._flags()
+        key = ("stream", self.config, flags)
+        eng = self._fn_cache.get(key)
+        if eng is None:
+            eng = StreamingStretch(self.config, self._controls(), flags,
+                                   seed=self._seed)
+            self._fn_cache[key] = eng
+        else:
+            eng.controls = self._controls()
+        return eng
+
+    def reset(self):
+        if ("stream", self._cfg, self._flags()) in self._fn_cache:
+            self._stream().reset(self._seed)
+
+    def process(self, audio_in, output_samples: int) -> np.ndarray:
+        """Streaming process() — state carries across calls (reference :209)."""
+        return self._stream().process(audio_in, int(output_samples))
+
+    def seek(self, audio_in, playback_rate: float):
+        self._stream().seek(audio_in, playback_rate)
+
+    def output_seek(self, audio_in):
+        self._stream().output_seek(audio_in)
+
+    def flush(self, output_samples: int, playback_rate: float = 0.0) -> np.ndarray:
+        return self._stream().flush(int(output_samples), playback_rate)
+
     # ---- offline rendering -------------------------------------------------
     def exact(self, audio, output_samples: int) -> Tuple[np.ndarray, bool]:
         """Whole-buffer render (reference exact(), :467-491).

@@ -403,9 +403,11 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 16):
         arrs.append(inputs.pe[c])
     for c in range(ch):
         arrs += [inputs.pi[c].real, inputs.pi[c].imag]
-    packed = jnp.stack(arrs, axis=-1)              # [nB, B, P]
-    sk = skew(packed, step)                        # [nB, D0, P]
-    sk = jnp.transpose(sk, (1, 2, 0))              # [D0, P, nB] (bins in lanes)
+    # contiguous plane-major pack (stacking on a trailing axis would write
+    # every element at stride P — a pathological interleave copy)
+    packed = jnp.stack(arrs, axis=0)               # [P, nB, B]
+    sk = jax.vmap(lambda p: skew(p, step))(packed)  # [P, nB, D0]
+    sk = jnp.transpose(sk, (2, 0, 1))              # [D0, P, nB] (bins in lanes)
     sk = jnp.pad(sk, [(0, D - D0), (0, 0), (0, 0)])
     sk = sk.reshape(D // K, K, -1, nB)
 

@@ -117,3 +117,42 @@ def test_latency_semantics(test_signal):
     sl = slice(8000, 20000)
     db = rel_err_db(out[:, sl.start + lat:sl.stop + lat], sig[:, sl])
     assert db < -55, db
+
+
+def test_api_streaming_surface(oracle_bin, test_signal, tmp_path):
+    """The single-object API (preset + setters + seek/process/flush) matches
+    the oracle's stream mode, like the dev harness drives it."""
+    import signalsmith_stretch_tpu as sst
+    sig, rate = test_signal
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, mode="stream",
+                     chunk=512)
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    in_lat = s.input_latency()
+    pad = np.concatenate([sig, np.zeros((1, in_lat), np.float32)], 1)
+    s.seek(pad[:, :in_lat], 1.0)
+    outs, done = [], 0
+    L = sig.shape[1]
+    while done < L:
+        n = min(512, L - done)
+        outs.append(s.process(pad[:, in_lat + done:in_lat + done + n], n))
+        done += n
+    outs.append(s.flush(s.output_latency() + in_lat))
+    out = np.concatenate(outs, 1)
+    db = rel_err_db(out[:, :L], ref[:, :L])
+    assert db < -60, db
+
+
+def test_api_output_seek_alignment(test_signal):
+    """outputSeek pre-rolls so the next process() output aligns with the
+    start of the supplied audio (reference :170-204)."""
+    import signalsmith_stretch_tpu as sst
+    sig, rate = test_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    seek_len = s.output_seek_length(1.0)
+    s.output_seek(sig[:, :seek_len])
+    out = s.process(sig[:, seek_len:seek_len + 4000], 4000)
+    sl = slice(1000, 3800)
+    db = rel_err_db(out[:, sl], sig[:, sl])
+    assert db < -40, db
