@@ -1,0 +1,109 @@
+"""Edge coverage: odd geometries, stereo locking, mapped streaming, CLI."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import signalsmith_stretch_tpu as sst
+from signalsmith_stretch_tpu.config import StretchConfig
+
+from conftest import rel_err_db, run_oracle, write_raw, read_raw
+
+
+def test_manual_configure_geometry(oracle_bin, tmp_path):
+    """configure() with non-preset (odd) block/interval matches the oracle's
+    geometry arithmetic."""
+    cfg = StretchConfig(1, 777, 222, False)
+    assert cfg.fft_samples == 1024
+    assert cfg.bands == 512
+    assert cfg.input_latency == 388      # 777 // 2
+    assert cfg.output_latency == 389     # 777 - 777//2
+    assert cfg.seek_length == 999
+    # split adds one interval of output latency (signalsmith-stretch.h:46)
+    cfg_s = StretchConfig(1, 777, 222, True)
+    assert cfg_s.output_latency == 389 + 222
+
+
+def test_odd_geometry_render(test_signal):
+    """Odd block/interval sizes render sanely end to end."""
+    sig, rate = test_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.configure(1, 777, 222)
+    out, ok = s.exact(sig[:, :8000], 9000)
+    assert ok and out.shape == (1, 9000)
+    assert np.sqrt(np.mean(out[:, 2000:8000] ** 2)) > 0.1
+
+
+def test_stereo_phase_locking(stereo_signal):
+    """Channels stay phase-locked: a correlated stereo pair must keep its
+    inter-channel correlation through a pitch shift (the reference locks all
+    channels to the max-energy channel, :791-800)."""
+    sig, rate = stereo_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(2, rate, False)
+    s.set_transpose_semitones(4, 2000 / rate)
+    out, ok = s.exact(sig, sig.shape[1])
+    assert ok
+    a, b = out[0, 2000:14000], out[1, 2000:14000]
+    corr = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+    ai, bi = sig[0, 2000:14000], sig[1, 2000:14000]
+    corr_in = np.dot(ai, bi) / (np.linalg.norm(ai) * np.linalg.norm(bi))
+    assert corr > 0.5 * corr_in, (corr, corr_in)
+
+
+def test_streaming_mapped_parity(oracle_bin, test_signal, tmp_path):
+    """Pitch-shifted streaming matches the oracle stream mode over the early
+    (pre-chaos) region."""
+    sig, rate = test_signal
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, mode="stream",
+                     chunk=512, semitones=4, tonality=2000)
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    s.set_transpose_semitones(4, 2000 / rate)
+    in_lat = s.input_latency()
+    pad = np.concatenate([sig, np.zeros((1, in_lat), np.float32)], 1)
+    s.seek(pad[:, :in_lat], 1.0)
+    outs, done = [], 0
+    while done < sig.shape[1]:
+        n = min(512, sig.shape[1] - done)
+        outs.append(s.process(pad[:, in_lat + done:in_lat + done + n], n))
+        done += n
+    out = np.concatenate(outs, 1)
+    db = rel_err_db(out[:, :6000], ref[:, :6000])
+    assert db < -35, db  # mapped regime: early region before chaos growth
+
+
+def test_cli_subprocess_roundtrip(test_signal, tmp_path):
+    """The CLI end to end in a fresh process (raw I/O, exact length)."""
+    sig, rate = test_signal
+    inp = str(tmp_path / "in.raw")
+    outp = str(tmp_path / "out.raw")
+    write_raw(inp, sig[:, :8000], rate)
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, "-m", "signalsmith_stretch_tpu.cli", inp, outp,
+         "--raw", "--cheaper", "--time=1.25", "--semitones=2"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-500:]
+    out, orate = read_raw(outp)
+    assert orate == rate and out.shape == (1, 10000)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0.01
+
+
+def test_scheduler_live_input_mode(test_signal):
+    """Worklet live-input mode (web-wrapper.js:255-266): quantum in, quantum
+    out with engine latency."""
+    from signalsmith_stretch_tpu.scheduler import StretchNode
+    sig, rate = test_signal
+    node = StretchNode(rate, channels=1, preset="cheaper", quantum=400)
+    node.schedule(semitones=0.0, rate=1.0)
+    out = node.render(1.0, live_input=sig)
+    assert out.shape == (1, rate)
+    # live mode has no seek pre-roll: latency = inputLatency + outputLatency
+    lat = node.cfg.input_latency + node.cfg.output_latency
+    sl = slice(4000, 7000)
+    db = rel_err_db(out[:, sl], sig[:, sl.start - lat:sl.stop - lat])
+    assert db < -40, db
