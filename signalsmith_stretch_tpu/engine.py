@@ -15,9 +15,7 @@ arithmetic around one scan (see SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

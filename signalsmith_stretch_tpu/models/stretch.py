@@ -7,7 +7,9 @@ unit that bench.py, __graft_entry__ and the parallel layers instantiate.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
+
+
 
 import jax
 import jax.numpy as jnp

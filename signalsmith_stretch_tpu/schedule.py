@@ -24,7 +24,7 @@ copyInput at :215-229); such rates need the ring-carry streaming engine.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -25,9 +25,8 @@ reproduce; use the offline engine or smaller chunks for extreme rates.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
