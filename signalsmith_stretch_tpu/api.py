@@ -165,12 +165,20 @@ class SignalsmithStretch:
         return self._stream().flush(int(output_samples), playback_rate)
 
     # ---- offline rendering -------------------------------------------------
-    def exact(self, audio, output_samples: int) -> Tuple[np.ndarray, bool]:
+    def exact(self, audio, output_samples: int,
+              automation: Optional[dict] = None) -> Tuple[np.ndarray, bool]:
         """Whole-buffer render (reference exact(), :467-491).
 
         audio: [channels, input_samples] array.  Returns (output, ok); ok is
         False (and the output zero) when the input is shorter than
         outputSeekLength, matching the reference.
+
+        `automation` varies controls over the render (the TPU-native form of
+        the worklet's schedule() automation, BASELINE config #4): a dict with
+        any of `semitones`, `transpose_factor`, `tonality_limit`,
+        `formant_semitones`, `formant_base` mapping to a scalar, an array
+        sampled at the render's block times, or a callable f(t_out_seconds)
+        evaluated at each block's output time (needs `sample_rate=`).
         """
         audio = jnp.asarray(audio, jnp.float32)
         cfg = self.config
@@ -184,11 +192,79 @@ class SignalsmithStretch:
             self._plan_cache[key] = plan
         if not plan.sched.valid:
             return np.zeros((cfg.channels, int(output_samples)), np.float32), False
-        flags = self._flags()
-        fn_key = (key, flags)
+        if automation:
+            controls, flags = self._automated(plan, automation)
+            auto_key = True
+        else:
+            controls, flags = self._controls(), self._flags()
+            auto_key = False
+        fn_key = (key, flags, auto_key)
         fn = self._fn_cache.get(fn_key)
         if fn is None:
             fn = engine.jitted_render(plan, flags)
             self._fn_cache[fn_key] = fn
-        out = fn(audio, self._controls(), self._seed)
+        out = fn(audio, controls, self._seed)
         return np.asarray(out), True
+
+    def block_output_times(self, plan_or_key) -> np.ndarray:
+        """Output-sample index of each processing block for a plan."""
+        return np.asarray(plan_or_key.arrays["out_pos"], np.int64)
+
+    def _automated(self, plan, automation: dict):
+        """Build per-block Controls from an automation dict."""
+        n_b = len(plan.arrays["out_pos"])
+        sr = automation.get("sample_rate", None)
+        times = plan.arrays["out_pos"].astype(np.float64)
+        if sr:
+            times = times / float(sr)
+
+        def series(value, default):
+            if value is None:
+                return np.full(n_b, default, f32)
+            if callable(value):
+                return np.asarray([value(t) for t in times], f32)
+            arr = np.asarray(value, f32)
+            if arr.ndim == 0:
+                return np.full(n_b, arr, f32)
+            if arr.shape != (n_b,):
+                raise ValueError(f"automation arrays must have length {n_b} "
+                                 f"(one value per block), got {arr.shape}")
+            return arr
+
+        if "transpose_factor" in automation:
+            mult = series(automation["transpose_factor"], self._freq_multiplier)
+        else:
+            semis = series(automation.get("semitones"),
+                           f32(12 * math.log2(float(self._freq_multiplier))))
+            # bit-match set_transpose_semitones: double exp2 of f32(s)/f32(12)
+            mult = np.exp2((semis.astype(f32) / f32(12)).astype(np.float64)
+                           ).astype(f32)
+        if "tonality_limit" in automation:
+            tonality = series(automation["tonality_limit"], 0)
+            limit = np.where(
+                tonality > 0,
+                (tonality.astype(f32)
+                 / np.sqrt(mult.astype(np.float64)).astype(f32)).astype(f32),
+                f32(1))
+        else:
+            limit = np.full(n_b, self._freq_tonality_limit, f32)
+        fsemis = series(automation.get("formant_semitones"),
+                        f32(12 * math.log2(float(self._formant_multiplier))))
+        fm = np.exp2((fsemis.astype(f32) / f32(12)).astype(np.float64)
+                     ).astype(f32)
+        fbase = series(automation.get("formant_base"), self._formant_base_freq)
+
+        mapped = bool((mult != 1).any()) or self._custom_map is not None
+        process_formants = bool((fm != 1).any()) or (
+            self._formant_compensation and mapped)
+        flags = SpectralFlags(mapped=mapped, process_formants=process_formants,
+                              formant_compensation=self._formant_compensation,
+                              custom_map=self._custom_map,
+                              formant_auto=bool((fbase <= 0).any()))
+        controls = Controls(
+            freq_multiplier=jnp.asarray(mult),
+            freq_tonality_limit=jnp.asarray(limit.astype(f32)),
+            formant_multiplier=jnp.asarray(fm),
+            inv_formant_multiplier=jnp.asarray((f32(1) / fm).astype(f32)),
+            formant_base_freq=jnp.asarray(fbase))
+        return controls, flags

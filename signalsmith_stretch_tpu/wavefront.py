@@ -163,6 +163,14 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     tf_np = arrays["time_factor"]         # numpy f32 [nB]
     rotor = jnp.asarray(consts.rotor)     # [B] complex64
 
+    # Controls may carry per-block automation arrays ([nB] leaves) instead of
+    # scalars — the TPU-native form of the worklet's schedule() automation.
+    automated = jnp.ndim(controls.freq_multiplier) > 0
+    if automated:
+        ctrl_bb = spectral.Controls(*[c[:, None] for c in controls])  # [nB, 1]
+    else:
+        ctrl_bb = controls
+
     # ---- static input/prevInput chains (:332-376, 806-812) ----------------
     idx = np.arange(nB)
     src_input = np.maximum.accumulate(np.where(new, idx, -1))
@@ -196,10 +204,14 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             sm, e = scan_ops.iir_backward(sm, e, f32(consts.slew))
             sm, e = scan_ops.iir_forward(sm, e, f32(consts.slew))
 
-        def pm(en, smo):
-            return spectral._peaks_and_map(en, smo, controls, flags, consts)
+        def pm(en, smo, ctl):
+            return spectral._peaks_and_map(en, smo, ctl, flags, consts)
 
-        input_bin, freq_grad = jax.vmap(pm)(energy, sm)     # [nB, B]
+        if automated:
+            input_bin, freq_grad = jax.vmap(pm)(energy, sm, controls)
+        else:
+            input_bin, freq_grad = jax.vmap(
+                lambda e, s: pm(e, s, controls))(energy, sm)  # [nB, B]
     else:
         input_bin, freq_grad = None, None   # identity map, no gathers needed
 
@@ -239,15 +251,20 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
         env_pad = jnp.concatenate([env, jnp.zeros((nB, 2), env.dtype)], -1)
         input_f = jnp.asarray(consts.band_freq)
-        output_f = (spectral.map_freq(input_f, controls, flags)
+        output_f = (spectral.map_freq(input_f, ctrl_bb, flags)
                     if flags.formant_compensation else input_f)
-        output_f = spectral.inv_map_formant(output_f, controls)
-        target_band = spectral._freq_to_band(output_f, consts)  # [B]
+        output_f = spectral.inv_map_formant(output_f, ctrl_bb)
+        target_band = spectral._freq_to_band(output_f, consts)  # [B] or [nB, B]
         tb = jnp.minimum(target_band, f32(B))
         floor_band = jnp.floor(tb).astype(jnp.int32)
         frac = tb - floor_band.astype(jnp.float32)
-        lo = jnp.take(env_pad, jnp.clip(floor_band, 0, B + 1), axis=-1)
-        hi = jnp.take(env_pad, jnp.clip(floor_band + 1, 0, B + 1), axis=-1)
+        if floor_band.ndim == 1:
+            lo = jnp.take(env_pad, jnp.clip(floor_band, 0, B + 1), axis=-1)
+            hi = jnp.take(env_pad, jnp.clip(floor_band + 1, 0, B + 1), axis=-1)
+        else:
+            lo = jnp.take_along_axis(env_pad, jnp.clip(floor_band, 0, B + 1), -1)
+            hi = jnp.take_along_axis(env_pad,
+                                     jnp.clip(floor_band + 1, 0, B + 1), -1)
         target_e = jnp.where(target_band < 0, f32(0), lo + (hi - lo) * frac)
         ratio = target_e / (env + f32(1e-30))               # [nB, B]
         in_energy = in_energy * ratio[:, None, :]

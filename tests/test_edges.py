@@ -107,3 +107,43 @@ def test_scheduler_live_input_mode(test_signal):
     sl = slice(4000, 7000)
     db = rel_err_db(out[:, sl], sig[:, sl.start - lat:sl.stop - lat])
     assert db < -40, db
+
+
+def test_exact_automation_pitch_ramp(test_signal):
+    """Per-block automation: a semitone ramp glides the pitch across the
+    render (BASELINE config #4's automation sweep, offline engine)."""
+    sig, rate = test_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    dur = sig.shape[1] / rate
+    out, ok = s.exact(sig, sig.shape[1], automation={
+        "sample_rate": rate,
+        "semitones": lambda t: 12.0 * t / dur,   # 0 -> +12 st ramp
+        "tonality_limit": 2000.0 / rate,
+    })
+    assert ok
+
+    def peak_hz(seg):
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        return np.fft.rfftfreq(len(seg), 1 / rate)[np.argmax(sp)]
+
+    f_start = peak_hz(out[0, 2000:6000])
+    f_end = peak_hz(out[0, -6000:-2000])
+    assert 100 < f_start < 135, f_start          # ~110 Hz at the start
+    assert 185 < f_end < 245, f_end              # ~220 Hz near the end
+
+
+def test_exact_automation_constant_matches_plain(test_signal):
+    """Constant automation must agree with the plain setter path."""
+    sig, rate = test_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    s.set_transpose_semitones(4, 2000 / rate)
+    a, _ = s.exact(sig[:, :12000], 12000)
+
+    s2 = sst.SignalsmithStretch(seed=1)
+    s2.preset_cheaper(1, rate, False)
+    b, _ = s2.exact(sig[:, :12000], 12000, automation={
+        "semitones": 4.0, "tonality_limit": 2000.0 / rate})
+    db = rel_err_db(b, a)
+    assert db < -50, db
