@@ -31,6 +31,7 @@ struct Args {
 	long seed = 12345;
 	std::string mode = "exact";
 	int chunk = 512;
+	int blockSamples = 0, intervalSamples = 0;  // manual configure() override
 
 	bool parse(int argc, char **argv) {
 		for (int i = 1; i < argc; ++i) {
@@ -50,6 +51,8 @@ struct Args {
 			else if (a == "--info") info = true;
 			else if (a.rfind("--seed=", 0) == 0) seed = std::atol(a.c_str() + 7);
 			else if (a.rfind("--chunk=", 0) == 0) chunk = std::atoi(a.c_str() + 8);
+			else if (a.rfind("--block=", 0) == 0) blockSamples = std::atoi(a.c_str() + 8);
+			else if (a.rfind("--interval=", 0) == 0) intervalSamples = std::atoi(a.c_str() + 11);
 			else if (a.rfind("--mode=", 0) == 0) mode = a.substr(7);
 			else if (a.rfind("--", 0) == 0) { std::fprintf(stderr, "unknown flag %s\n", a.c_str()); return false; }
 			else if (nPositional < 2) positional[nPositional++] = a;
@@ -76,7 +79,9 @@ int main(int argc, char **argv) {
 	}
 
 	Stretch stretch(args.seed);
-	if (args.cheaper) {
+	if (args.blockSamples > 0 && args.intervalSamples > 0) {
+		stretch.configure(channels, args.blockSamples, args.intervalSamples, args.split);
+	} else if (args.cheaper) {
 		stretch.presetCheaper(channels, float(sampleRate), args.split);
 	} else {
 		stretch.presetDefault(channels, float(sampleRate), args.split);

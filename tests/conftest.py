@@ -81,7 +81,8 @@ def stereo_signal():
 
 def run_oracle(oracle_bin, tmpdir, sig, rate, mode="exact", time_f=1.0,
                semitones=0.0, tonality=0.0, formant=0.0, formant_comp=False,
-               formant_base=0.0, cheaper=True, split=False, seed=1, chunk=None):
+               formant_base=0.0, cheaper=True, split=False, seed=1, chunk=None,
+               block=None, interval=None):
     inp = os.path.join(tmpdir, "in.raw")
     outp = os.path.join(tmpdir, "out.raw")
     write_raw(inp, sig, rate)
@@ -97,6 +98,8 @@ def run_oracle(oracle_bin, tmpdir, sig, rate, mode="exact", time_f=1.0,
         args.append("--split")
     if chunk is not None:
         args.append(f"--chunk={chunk}")
+    if block is not None:
+        args += [f"--block={block}", f"--interval={interval}"]
     subprocess.run(args, check=True)
     out, _ = read_raw(outp)
     return out

@@ -147,3 +147,20 @@ def test_exact_automation_constant_matches_plain(test_signal):
         "semitones": 4.0, "tonality_limit": 2000.0 / rate})
     db = rel_err_db(b, a)
     assert db < -50, db
+
+
+@pytest.mark.parametrize("block,interval", [(900, 270), (1000, 330), (900, 160)])
+def test_custom_geometry_parity(oracle_bin, test_signal, tmp_path, block,
+                                interval):
+    """Manual configure() geometries (odd intervals, different
+    longVerticalStep) match the oracle."""
+    sig, rate = test_signal
+    sig = sig[:, :16000]
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, block=block,
+                     interval=interval)
+    s = sst.SignalsmithStretch(seed=1)
+    s.configure(1, block, interval)
+    out, ok = s.exact(sig, sig.shape[1])
+    assert ok and out.shape == ref.shape
+    db = rel_err_db(out, ref)
+    assert db < -60, db
