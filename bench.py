@@ -67,7 +67,9 @@ def main():
     batch = int(os.environ.get("SST_BENCH_BATCH", "16"))
     seconds = float(os.environ.get("SST_BENCH_SECONDS", "10"))
     reps = int(os.environ.get("SST_BENCH_REPS", "3"))
-    quick = os.environ.get("SST_BENCH_QUICK") == "1"
+    # default: primary config only (driver-friendly); SST_BENCH_FULL=1 runs
+    # all five baseline configurations into bench_report.json
+    quick = os.environ.get("SST_BENCH_FULL") != "1"
 
     results = []
 
@@ -94,13 +96,14 @@ def main():
         cfg_case("split_streaming_parity", 48000, 2, 1.25, split=True)
 
     primary = results[0]
-    report = dict(configs=results,
-                  batch=batch, clip_seconds=seconds,
-                  engine=os.environ.get("SST_ENGINE", "wavefront"),
-                  device=str(jax.devices()[0]))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_report.json"), "w") as f:
-        json.dump(report, f, indent=1)
+    if not quick:  # keep the committed full report intact on quick runs
+        report = dict(configs=results,
+                      batch=batch, clip_seconds=seconds,
+                      engine=os.environ.get("SST_ENGINE", "wavefront"),
+                      device=str(jax.devices()[0]))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_report.json"), "w") as f:
+            json.dump(report, f, indent=1)
 
     print(json.dumps({
         "metric": "realtime_factor_stereo48k_stretch1.25_batch%d" % batch,
