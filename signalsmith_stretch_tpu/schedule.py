@@ -16,10 +16,10 @@ Everything here replicates the C++ integer/float32 semantics bit-for-bit:
   - exact() plumbing signalsmith-stretch.h:467-491
 
 The virtual input timeline is a concatenation of segments (zero padding, input
-slices, flush zeros); analysis frames are gathers at static offsets.  The
-engine raises if a schedule would overflow the reference's input-ring copy cap
-(block+interval per block, i.e. extreme time-compression ratios — see
-copyInput at :215-229); such rates need the ring-carry streaming engine.
+slices, flush zeros); analysis frames are gathers at static offsets.  Extreme
+time-compression engages the reference's copy cap (block+interval per block,
+copyInput :215-229): the dropped history is omitted from the timeline, which
+stays frame-accurate because no frame reaches past one cap window.
 """
 from __future__ import annotations
 
@@ -130,15 +130,17 @@ class _SimState:
             if delta <= 0:
                 prev_copied = to_index
                 return
+            # the reference copies at most block+interval per block, silently
+            # dropping older history on extreme time-compression (:215-229).
+            # Frames reach back at most block+interval == cap, so they never
+            # span the dropped gap: appending only the last `cap` source
+            # samples keeps the virtual timeline frame-accurate.
             length = min(cap, delta)
-            if length < delta:
-                raise NotImplementedError(
-                    "input jump exceeds block+interval (time-compression ratio "
-                    "too extreme for the static-timeline engine)")
             if src_base is None:
                 self.append_segment("zeros", length)
             else:
-                self.append_segment("input", length, src_base + prev_copied)
+                self.append_segment("input", length,
+                                    src_base + to_index - length)
             prev_copied = to_index
 
         split_shift = H if cfg.split_computation else 0

@@ -164,3 +164,23 @@ def test_custom_geometry_parity(oracle_bin, test_signal, tmp_path, block,
     assert ok and out.shape == ref.shape
     db = rel_err_db(out, ref)
     assert db < -60, db
+
+
+@pytest.mark.parametrize("time_f", [0.15, 0.1])
+def test_extreme_compression_parity(oracle_bin, test_signal, tmp_path, time_f):
+    """Extreme time-compression engages the reference's copyInput skip path
+    (drops history beyond block+interval per block, :215-229); the static
+    timeline reproduces it because frames never span the dropped gap."""
+    sig, rate = test_signal
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, time_f=time_f)
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    out, ok = s.exact(sig, int(round(sig.shape[1] * time_f)))
+    assert ok and out.shape == ref.shape
+    db = rel_err_db(out, ref)
+    # heavy compression is deep in the chaotic regime; verify against the
+    # oracle's own 1-ulp sensitivity bound
+    pert = np.nextafter(sig, np.float32(np.inf)).astype(np.float32)
+    ref2 = run_oracle(oracle_bin, str(tmp_path), pert, rate, time_f=time_f)
+    bound = rel_err_db(ref2, ref)
+    assert db < max(-60, bound + 12), (db, bound)
