@@ -184,3 +184,23 @@ def test_extreme_compression_parity(oracle_bin, test_signal, tmp_path, time_f):
     ref2 = run_oracle(oracle_bin, str(tmp_path), pert, rate, time_f=time_f)
     bound = rel_err_db(ref2, ref)
     assert db < max(-60, bound + 12), (db, bound)
+
+
+@pytest.mark.parametrize("in_len,out_len", [
+    (3000, 3000),    # barely above seek length
+    (8000, 2500),    # strong compression
+    (2400, 7200),    # 3x stretch from a short clip
+    (8001, 9973),    # coprime odd lengths
+    (7999, 8000),    # off-by-one
+])
+def test_schedule_shape_fuzz(test_signal, in_len, out_len):
+    """Odd (in, out) pairs must render without index errors, with finite
+    output of exactly the requested length."""
+    sig, rate = test_signal
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    out, ok = s.exact(sig[:, :in_len], out_len)
+    assert out.shape == (1, out_len)
+    assert np.isfinite(out).all()
+    if ok:
+        assert np.abs(out[:, out_len // 4: out_len // 2]).max() > 1e-4
