@@ -18,7 +18,10 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# Per-platform cache dir: entries AOT-compiled through the axon remote helper
+# target different CPU features than this host (cpu_aot_loader warns about
+# SIGILL risk) — keep the CPU test cache isolated from any TPU-session writes.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
