@@ -156,3 +156,45 @@ def test_api_output_seek_alignment(test_signal):
     sl = slice(1000, 3800)
     db = rel_err_db(out[:, sl], sig[:, sl])
     assert db < -40, db
+
+
+def test_api_staged_mode_parity(oracle_bin, test_signal, tmp_path):
+    """The documented offline recipe (cmd/main.cpp:56-83) through the
+    single-object API: outputSeek -> process -> flush vs the oracle's staged
+    mode."""
+    import signalsmith_stretch_tpu as sst
+    sig, rate = test_signal
+    time_f = 1.0
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, mode="staged",
+                     time_f=time_f)
+    s = sst.SignalsmithStretch(seed=1)
+    s.preset_cheaper(1, rate, False)
+    L = sig.shape[1]
+    out_len = int(round(L * time_f))
+    seek_len = s.output_seek_length(1.0 / time_f)
+    s.output_seek(sig[:, :seek_len])
+    out_index = out_len - s.interval_samples()
+    out_pos = out_index + s.output_latency()
+    in_pos = int(round(out_pos / time_f))
+    in_index = in_pos + s.input_latency()
+    pad = np.concatenate(
+        [sig, np.zeros((1, max(0, in_index - L)), np.float32)], 1)
+    main = s.process(pad[:, seek_len:in_index], out_index)
+    tail = s.flush(out_len - out_index)
+    out = np.concatenate([main, tail], 1)
+    assert out.shape == ref.shape
+    db = rel_err_db(out[:, :out_index], ref[:, :out_index])
+    assert db < -60, db
+
+
+def test_stream_rate_parity(oracle_bin, test_signal, tmp_path):
+    """Streaming at a non-unity rate (time-stretch 1.25x) matches the oracle
+    stream mode."""
+    sig, rate = test_signal
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, mode="stream",
+                     chunk=512, time_f=1.25)
+    out, cfg = _stream_render(sig, rate, chunk=512, time_f=1.25)
+    n = min(out.shape[1], ref.shape[1]) - (cfg.output_latency
+                                           + cfg.input_latency)
+    db = rel_err_db(out[:, :n], ref[:, :n])
+    assert db < -50, db
