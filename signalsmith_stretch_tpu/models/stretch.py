@@ -68,7 +68,16 @@ class StretchModel:
                                    self.flags, seed)
 
     def batched(self, audio: jnp.ndarray, seeds=None) -> jnp.ndarray:
-        """[batch, ch, in] -> [batch, ch, out]."""
+        """[batch, ch, in] -> [batch, ch, out].
+
+        Jitted (and cached on the model): an unjitted vmap dispatches
+        primitive-by-primitive, which some TPU attachments reject for eager
+        complex ops, and would retrace per call anyway.
+        """
         if seeds is None:
             seeds = jnp.arange(audio.shape[0], dtype=jnp.int32)
-        return jax.vmap(lambda a, s: self(a, s))(audio, seeds)
+        fn = getattr(self, "_batched_jit", None)
+        if fn is None:
+            fn = jax.jit(jax.vmap(lambda a, s: self(a, s)))
+            object.__setattr__(self, "_batched_jit", fn)
+        return fn(audio, seeds)
