@@ -18,10 +18,12 @@ across calls), so the per-call block loop is a masked lax.scan over the static
 maximum block count, replicating the reference's float32 block arithmetic
 (:281-325) with traced values.
 
-Limitations vs the reference (documented): input jumps larger than
-block+interval per block (time-compression beyond ~(block+H)/H per call) take
-the copyInput skip path (:217), which this linear-timeline engine does not
-reproduce; use the offline engine or smaller chunks for extreme rates.
+Extreme time-compression (per-block input jumps > block+interval) takes the
+reference's copyInput skip path (:215-229), which drops older ring history.
+No special casing is needed here: analysis frames reach back at most
+block+interval from the block's input offset, so neither engine ever reads
+the dropped region — the linear timeline stays exact at any rate (gated by
+test_stream_extreme_compression_parity).
 """
 from __future__ import annotations
 

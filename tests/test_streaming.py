@@ -198,3 +198,21 @@ def test_stream_rate_parity(oracle_bin, test_signal, tmp_path):
                                            + cfg.input_latency)
     db = rel_err_db(out[:, :n], ref[:, :n])
     assert db < -50, db
+
+
+def test_stream_extreme_compression_parity(oracle_bin, test_signal, tmp_path):
+    """8x time-compression engages the reference's copyInput skip path
+    (signalsmith-stretch.h:215-229: per-block input jumps > block+interval drop
+    older ring history).  The linear-timeline streaming engine needs no special
+    casing: analysis frames reach back at most block+interval from the block's
+    input offset, so they never read the dropped region — both engines always
+    see true input, and outputs match.  (cheaper@8kHz: cap/H = 5, so rate 8
+    is firmly in the skip regime.)"""
+    sig, rate = test_signal
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, rate, mode="stream",
+                     chunk=512, time_f=0.125)
+    out, cfg = _stream_render(sig, rate, chunk=512, time_f=0.125)
+    n = min(out.shape[1], ref.shape[1]) - (cfg.output_latency
+                                           + cfg.input_latency)
+    db = rel_err_db(out[:, :n], ref[:, :n])
+    assert db < -50, db
