@@ -154,8 +154,16 @@ def _sel(mc, items):
 def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
                   arrays: dict, controls: spectral.Controls,
                   flags: spectral.SpectralFlags,
-                  consts: spectral.SpectralConsts, seed) -> SweepInputs:
-    """spectra/prev_spectra [nB, ch, B] complex; arrays = schedule flags."""
+                  consts: spectral.SpectralConsts, seed,
+                  debug: bool = False) -> SweepInputs:
+    """spectra/prev_spectra [nB, ch, B] complex; arrays = schedule flags.
+
+    With debug=True returns (SweepInputs, dict of per-block intermediates) so
+    tests can compare the integrated planner's chains (energy, smoothing,
+    output map, prediction energies) against the reference engine's internals
+    as dumped by oracle/probe.cpp.
+    """
+    dbg = {}
     nB, ch, B = spectra.shape
     longv = consts.long_vertical_step
     new = arrays["new_spectrum"]          # numpy bool [nB]
@@ -212,6 +220,9 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         else:
             input_bin, freq_grad = jax.vmap(
                 lambda e, s: pm(e, s, controls))(energy, sm)  # [nB, B]
+        if debug:
+            dbg.update(energy=energy, smoothed=sm, input_bin=input_bin,
+                       freq_grad=freq_grad)
     else:
         input_bin, freq_grad = None, None   # identity map, no gathers needed
 
@@ -237,6 +248,8 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             freq_estimate = jnp.broadcast_to(
                 spectral._freq_to_band(controls.formant_base_freq, consts),
                 (nB,))
+        if debug and flags.formant_auto:
+            dbg.update(freq_estimate_weighted=few[0], freq_weight=fw[0])
 
         decay = f32(1) - f32(1) / (freq_estimate * f32(0.5) + f32(1))  # [nB]
         env = metric
@@ -359,8 +372,12 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     a1 = jnp.where(b_idx < B - 1, a1, 0)
     a2 = jnp.where(b_idx < B - longv, a2, 0)
 
-    return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
-                       pe=tuple(pe), pi=tuple(pi))
+    result = SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
+                         pe=tuple(pe), pi=tuple(pi))
+    if debug:
+        dbg["pe"] = jnp.stack(pe, axis=1)              # [nB, ch, B]
+        return result, dbg
+    return result
 
 
 def _shift_up(x, n):
