@@ -414,13 +414,23 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
     return jnp.moveaxis(out, 2, 1)                 # [nB, ch, B]
 
 
-def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 16):
+def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32):
     """Scan over diagonals, `unroll` diagonals per step (fatter DMA, fewer
     sequential steps; the in-step chain runs on register values).
 
-    All planes are packed into ONE [nB, B, planes] array before skewing so the
-    pad+cut reshape of the skew runs as a single copy chain (15 separate skews
-    measured ~7x slower than the equivalent single pass)."""
+    The xs layout is built with exactly ONE materialization (the dominant cost
+    of the whole render is this inflated diagonal-major copy — measured 48% of
+    the pipeline before the fusions below):
+      - all planes pack into one [P, nB, B] array (15 separate skews measured
+        ~7x slower); XLA fuses the stack into the plane producers,
+      - the pad-flatten-reshape skew pads the row pitch so the diagonal count
+        comes out at a multiple of K directly — padding to D afterwards was a
+        second full copy (+95 ms at bench shapes),
+      - the [D, P, nB] transpose materializes once as the scan operand
+        (unavoidable: scan xs must be diagonal-major); K=32 slabs make that
+        relayout DMA-efficient (K=16 measured ~10% slower end to end),
+      - for <=2 channels the max-channel plane is recomputed in-register from
+        the prediction energies instead of being carried (argmax over 2)."""
     nB = inputs.a1.shape[0]
     ch = len(inputs.pe)
     step = longv + 1
@@ -428,22 +438,29 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 16):
     K = unroll
     D = -(-D0 // K) * K
 
+    carry_mc = ch > 2
     arrs = []
     for name in ("a1", "a2", "d1", "d2"):
         z = getattr(inputs, name)
         arrs += [z.real, z.imag]
-    arrs.append(inputs.mc.astype(jnp.float32))
+    if carry_mc:
+        arrs.append(inputs.mc.astype(jnp.float32))
     for c in range(ch):
         arrs.append(inputs.pe[c])
     for c in range(ch):
         arrs += [inputs.pi[c].real, inputs.pi[c].imag]
-    # contiguous plane-major pack (stacking on a trailing axis would write
-    # every element at stride P — a pathological interleave copy)
     packed = jnp.stack(arrs, axis=0)               # [P, nB, B]
-    sk = jax.vmap(lambda p: skew(p, step))(packed)  # [P, nB, D0]
-    sk = jnp.transpose(sk, (2, 0, 1))              # [D0, P, nB] (bins in lanes)
-    sk = jnp.pad(sk, [(0, D - D0), (0, 0), (0, 0)])
-    sk = sk.reshape(D // K, K, -1, nB)
+    P = packed.shape[0]
+    B = packed.shape[2]
+    # skew with row pitch T = D + step: the flatten/prefix/reshape view then
+    # yields [nB, D] rows (columns beyond B + k*step read the zero pad), so no
+    # separate pad-to-D pass is needed
+    T = D + step
+    xp = jnp.pad(packed, [(0, 0), (0, 0), (0, T - B)])
+    flat = xp.reshape(P, nB * T)
+    sk = flat[:, :nB * (T - step)].reshape(P, nB, D)
+    sk = jnp.transpose(sk, (2, 0, 1))              # [D, P, nB] (bins in lanes)
+    sk = sk.reshape(D // K, K, P, nB)
 
     def unpack(row):
         """row [K, P, nB] -> SweepInputs-like views with [K, nB] planes."""
@@ -459,9 +476,13 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 16):
         a2 = C(take(), take())
         d1 = C(take(), take())
         d2 = C(take(), take())
-        mc = take().astype(jnp.int32)
+        mc = take().astype(jnp.int32) if carry_mc else None
         pe = tuple(take() for _ in range(ch))
         pi = tuple(C(take(), take()) for _ in range(ch))
+        if not carry_mc:
+            # argmax over <=2 channels, first-wins on ties (:722)
+            mc = (jnp.zeros(pe[0].shape, jnp.int32) if ch == 1
+                  else (pe[1] > pe[0]).astype(jnp.int32))
         return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc, pe=pe, pi=pi)
 
     xs = sk
