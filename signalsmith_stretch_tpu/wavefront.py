@@ -180,25 +180,37 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         ctrl_bb = controls
 
     # ---- static input/prevInput chains (:332-376, 806-812) ----------------
+    # all index vectors are compile-time numpy; degenerate patterns (uniform
+    # fixed-rate renders: every block new, every block reanalysed) skip the
+    # block gathers and selects entirely
     idx = np.arange(nB)
     src_input = np.maximum.accumulate(np.where(new, idx, -1))
     m_prev = np.empty(nB, np.int64)
     m_prev[0] = -1
     m_prev[1:] = src_input[:-1]           # last new block strictly before k
 
-    input_eff = spectra[np.maximum(src_input, 0)]
-    input_eff = jnp.where(jnp.asarray((src_input >= 0))[:, None, None],
-                          input_eff, 0)
+    if (src_input == idx).all():
+        input_eff = spectra
+    else:
+        input_eff = spectra[np.maximum(src_input, 0)]
+        input_eff = jnp.where(jnp.asarray((src_input >= 0))[:, None, None],
+                              input_eff, 0)
 
-    base_idx = np.where(new & ~reanalyse, np.maximum(m_prev, 0),
-                        np.maximum(src_input, 0))
-    base_valid = np.where(new & ~reanalyse, m_prev >= 0, src_input >= 0)
-    prev_base = jnp.where(jnp.asarray(reanalyse)[:, None, None],
-                          prev_spectra, spectra[base_idx])
-    prev_base = jnp.where(jnp.asarray(base_valid | reanalyse)[:, None, None],
-                          prev_base, 0)
-    prev_eff = jnp.where(jnp.asarray(new)[:, None, None],
-                         prev_base * rotor, prev_base)
+    if reanalyse.all():
+        prev_base = prev_spectra
+    else:
+        base_idx = np.where(new & ~reanalyse, np.maximum(m_prev, 0),
+                            np.maximum(src_input, 0))
+        base_valid = np.where(new & ~reanalyse, m_prev >= 0, src_input >= 0)
+        prev_base = jnp.where(jnp.asarray(reanalyse)[:, None, None],
+                              prev_spectra, spectra[base_idx])
+        prev_base = jnp.where(jnp.asarray(base_valid | reanalyse)[:, None, None],
+                              prev_base, 0)
+    if new.all():
+        prev_eff = prev_base * rotor
+    else:
+        prev_eff = jnp.where(jnp.asarray(new)[:, None, None],
+                             prev_base * rotor, prev_base)
 
     in_energy = input_eff.real ** 2 + input_eff.imag ** 2   # [nB, ch, B]
     b_f = jnp.arange(B, dtype=jnp.float32)
@@ -296,8 +308,11 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
     pe_prev = [jnp.concatenate([jnp.zeros((1, B), x.dtype), x[:-1]], 0)
                for x in pe]
-    rotor_eff = jnp.where(jnp.asarray(new)[:, None], rotor,
-                          jnp.ones((), rotor.dtype))        # [nB, B]
+    if new.all():
+        rotor_eff = rotor[None, :]
+    else:
+        rotor_eff = jnp.where(jnp.asarray(new)[:, None], rotor,
+                              jnp.ones((), rotor.dtype))    # [nB, B]
     c1 = [rotor_eff * (pi[c] * jnp.conj(prev_i[c]))
           / (jnp.maximum(pe_prev[c], pe[c]) + f32(NOISE_FLOOR))
           for c in range(ch)]
