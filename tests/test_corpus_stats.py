@@ -1,0 +1,96 @@
+"""Corpus-scale statistical regression vs the oracle (ROADMAP verification).
+
+Frequency-mapped renders are chaotic in *phase* (docs/PARITY.md), but band
+energy envelopes are analysis-derived and stable — so a mixed corpus is gated
+on third-octave-band energies and broadband envelopes at tight (sub-dB)
+tolerances, complementing the sample-exact tests that must use chaos-relative
+gates.
+"""
+import numpy as np
+import pytest
+
+from conftest import rel_err_db, run_oracle
+from signalsmith_stretch_tpu.api import SignalsmithStretch
+
+
+def _clip(kind, rate, seconds, seed):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(rate * seconds)) / rate
+    if kind == "harmonic":
+        sig = sum((0.5 / (i + 1)) * np.sin(2 * np.pi * 130 * (i + 1) * t + i)
+                  for i in range(6))
+    elif kind == "sweep":
+        sig = 0.5 * np.sin(2 * np.pi * (100 * t + 400 * t * t))
+    elif kind == "noise":
+        sig = 0.3 * rng.standard_normal(t.shape)
+    else:  # transient train
+        sig = np.zeros_like(t)
+        sig[::1600] = 1.0
+        k = np.exp(-np.arange(200) / 30.0)
+        sig = np.convolve(sig, k)[:t.size] * 0.5
+    sig = sig + 0.01 * rng.standard_normal(t.shape)
+    return sig[None, :].astype(np.float32)
+
+
+def _band_energies(x, rate, n_fft=1024):
+    """[ch, n] -> log10 energy per third-octave-ish band, time-averaged."""
+    n = (x.shape[1] // n_fft) * n_fft
+    frames = x[0, :n].reshape(-1, n_fft) * np.hanning(n_fft)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / rate)
+    edges = 50 * (2 ** (np.arange(0, 20) / 3.0))
+    edges = edges[edges < rate / 2]
+    e = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        m = (freqs >= lo) & (freqs < hi)
+        if m.any():
+            e.append(spec[:, m].sum(axis=1).mean())
+    return np.log10(np.asarray(e) + 1e-12)
+
+
+CASES = [
+    dict(time_f=1.25, semitones=0.0, tonality=0.0),
+    dict(time_f=0.8, semitones=0.0, tonality=0.0),
+    dict(time_f=1.0, semitones=3.0, tonality=2000.0),
+    dict(time_f=1.2, semitones=-4.0, tonality=3000.0),
+]
+KINDS = ["harmonic", "sweep", "noise", "transients"]
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: (
+    f"t{c['time_f']}_st{c['semitones']}"))
+def test_corpus_band_energy_regression(oracle_bin, tmp_path, case):
+    rate = 8000
+    max_band_err = 0.0
+    for kind in KINDS:
+        sig = _clip(kind, rate, 2.0, seed=hash(kind) % 1000)
+        out_len = int(round(sig.shape[1] * case["time_f"]))
+        ref = run_oracle(oracle_bin, str(tmp_path), sig, rate,
+                         time_f=case["time_f"], semitones=case["semitones"],
+                         tonality=case["tonality"], cheaper=True, split=True)
+        s = SignalsmithStretch()
+        s.preset_cheaper(1, rate)
+        s.set_transpose_semitones(case["semitones"],
+                                  case["tonality"] / rate)
+        out, ok = s.exact(sig, out_len)
+        out = np.asarray(out)
+        assert ok and out.shape == ref.shape
+
+        # band-energy distance (log10): < 0.05 ~ 0.5 dB per band
+        be_mine = _band_energies(out, rate)
+        be_ref = _band_energies(ref, rate)
+        err = np.abs(be_mine - be_ref).max()
+        max_band_err = max(max_band_err, err)
+        assert err < 0.05, (kind, case, err)
+
+        # broadband envelope: 50 ms RMS windows within 0.5 dB RMS
+        w = int(0.05 * rate)
+        n = (out.shape[1] // w) * w
+        env_m = np.sqrt((out[0, :n].reshape(-1, w) ** 2).mean(1) + 1e-12)
+        env_r = np.sqrt((ref[0, :n].reshape(-1, w) ** 2).mean(1) + 1e-12)
+        env_db = 20 * np.abs(np.log10(env_m / env_r)).mean()
+        assert env_db < 0.5, (kind, case, env_db)
+
+        # unmapped renders must additionally be sample-tight
+        if case["semitones"] == 0.0:
+            assert rel_err_db(out, ref) < -60, (kind, case)

@@ -53,7 +53,8 @@ def parse_dump(path):
 
 
 def run_probe(probe_bin, tmpdir, sig, rate, time_f=1.0, semitones=0.0,
-              tonality=0.0, formant=0.0, formant_comp=False, seed=1):
+              tonality=0.0, formant=0.0, formant_comp=False, seed=1,
+              cheaper=True):
     inp = os.path.join(tmpdir, "probe_in.raw")
     outp = os.path.join(tmpdir, "probe_out.raw")
     dump = os.path.join(tmpdir, "probe_dump.bin")
@@ -63,12 +64,14 @@ def run_probe(probe_bin, tmpdir, sig, rate, time_f=1.0, semitones=0.0,
             f"--formant={formant}", f"--seed={seed}"]
     if formant_comp:
         args.append("--formant-comp")
+    if not cheaper:
+        args.append("--default")
     subprocess.run(args, check=True)
     return parse_dump(dump)
 
 
 def plan_debug(sig, rate, semitones=0.0, tonality_hz=0.0, formant=0.0,
-               formant_comp=False, seed=1):
+               formant_comp=False, seed=1, cheaper=True):
     """The framework side: exact()'s planner intermediates + main-block range.
 
     Mirrors engine.render_exact's analysis stage (frame gather + modified FFT)
@@ -79,10 +82,13 @@ def plan_debug(sig, rate, semitones=0.0, tonality_hz=0.0, formant=0.0,
     import jax.numpy as jnp
 
     s = SignalsmithStretch()
-    # probe.cpp runs the cheaper preset WITHOUT split computation; split only
-    # delays output placement but shifts seekLength by one interval, which
-    # would misalign the block numbering below.
-    s.preset_cheaper(sig.shape[0], rate, split_computation=False)
+    # probe.cpp runs WITHOUT split computation; split only delays output
+    # placement but shifts seekLength by one interval, which would misalign
+    # the block numbering below.
+    if cheaper:
+        s.preset_cheaper(sig.shape[0], rate, split_computation=False)
+    else:
+        s.preset_default(sig.shape[0], rate)
     s.set_transpose_semitones(semitones, tonality_hz / rate)
     if formant or formant_comp:
         s.set_formant_semitones(formant, formant_comp)
@@ -181,6 +187,29 @@ def test_probe_identity_prediction_energy(probe_bin, test_signal, tmp_path):
         ref_pe = dumps[i][T_PRED_ENERGY]
         mine = pe[n_pre + i].reshape(-1)
         assert rel_err_db(mine, ref_pe[:mine.size]) < -80, i
+
+
+def test_probe_mapped_chain_default_preset(probe_bin, test_signal, tmp_path):
+    """Same chain checks under the default preset (larger block/interval,
+    tonality limit active) — different smoothing constants, rotor, and map
+    clamping than the cheaper preset."""
+    sig, rate = test_signal
+    dumps = run_probe(probe_bin, str(tmp_path), sig, rate, semitones=3,
+                      tonality=2000, cheaper=False)
+    dbg, n_pre, n_main = plan_debug(sig, rate, semitones=3, tonality_hz=2000,
+                                    cheaper=False)
+    n = min(n_main, len(dumps))
+    assert n >= 20
+    B = dbg["energy"].shape[1]
+    for i in range(n):
+        k = n_pre + i
+        ref = dumps[i]
+        assert rel_err_db(dbg["energy"][k], ref[T_ENERGY][:B]) < -80, i
+        assert rel_err_db(dbg["smoothed"][k], ref[T_SMOOTHED][:B]) < -80, i
+        ib_err = np.abs(dbg["input_bin"][k] - ref[T_INPUT_BIN][:B])
+        assert np.mean(ib_err < 1e-3) > 0.999, (i, ib_err.max())
+        pe = dbg["pe"][k].reshape(-1)
+        assert rel_err_db(pe, ref[T_PRED_ENERGY][:pe.size]) < -70, i
 
 
 def test_probe_formant_freq_estimate(probe_bin, test_signal, tmp_path):
