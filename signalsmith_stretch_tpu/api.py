@@ -128,10 +128,17 @@ class SignalsmithStretch:
                   or float(self._freq_multiplier) != 1.0)
         process_formants = (float(self._formant_multiplier) != 1.0
                             or (self._formant_compensation and mapped))
+        from .spectral import inv_grad_bound_for
         return SpectralFlags(mapped=mapped, process_formants=process_formants,
                              formant_compensation=self._formant_compensation,
                              custom_map=self._custom_map,
-                             formant_auto=float(self._formant_base_freq) <= 0)
+                             formant_auto=float(self._formant_base_freq) <= 0,
+                             inv_grad_bound=inv_grad_bound_for(
+                                 float(self._freq_multiplier),
+                                 float(self._formant_multiplier),
+                                 self._formant_compensation,
+                                 has_custom_map=self._custom_map is not None,
+                                 process_formants=process_formants))
 
     # ---- streaming (signalsmith-stretch.h:139-464) -------------------------
     def _stream(self):
@@ -257,10 +264,21 @@ class SignalsmithStretch:
         mapped = bool((mult != 1).any()) or self._custom_map is not None
         process_formants = bool((fm != 1).any()) or (
             self._formant_compensation and mapped)
+        from .spectral import inv_grad_bound_for
         flags = SpectralFlags(mapped=mapped, process_formants=process_formants,
                               formant_compensation=self._formant_compensation,
                               custom_map=self._custom_map,
-                              formant_auto=bool((fbase <= 0).any()))
+                              formant_auto=bool((fbase <= 0).any()),
+                              # worst case over the automated range: the
+                              # mapped slope peaks at mult.min(), the
+                              # compensated formant slope at mult.max()
+                              inv_grad_bound=max(
+                                  (inv_grad_bound_for(
+                                      float(m), float(fm.min()),
+                                      self._formant_compensation,
+                                      has_custom_map=self._custom_map is not None,
+                                      process_formants=process_formants) or 4.0)
+                                  for m in (mult.min(), mult.max())))
         controls = Controls(
             freq_multiplier=jnp.asarray(mult),
             freq_tonality_limit=jnp.asarray(limit.astype(f32)),

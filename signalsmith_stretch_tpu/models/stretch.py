@@ -53,12 +53,17 @@ class StretchModel:
                             formant_multiplier=fm,
                             inv_formant_multiplier=f32(1) / fm,
                             formant_base_freq=f32(formant_base_hz / sample_rate))
+        from ..spectral import inv_grad_bound_for
+        process_formants = (float(fm) != 1.0
+                            or (formant_compensation and float(mult) != 1.0))
         flags = SpectralFlags(
             mapped=float(mult) != 1.0,
-            process_formants=(float(fm) != 1.0
-                              or (formant_compensation and float(mult) != 1.0)),
+            process_formants=process_formants,
             formant_compensation=formant_compensation,
-            formant_auto=formant_base_hz <= 0)
+            formant_auto=formant_base_hz <= 0,
+            inv_grad_bound=inv_grad_bound_for(
+                float(mult), float(fm), formant_compensation,
+                process_formants=process_formants))
         return cls(cfg=cfg, controls=controls, flags=flags,
                    in_samples=in_samples, out_samples=out_samples)
 

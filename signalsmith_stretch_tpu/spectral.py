@@ -29,6 +29,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -93,11 +94,42 @@ class SpectralFlags:
     # formantBaseFreq <= 0 => run the pitch estimator (:982-983); static so
     # the (sequential) estimator can be skipped entirely when a base is given
     formant_auto: bool = True
+    # Static bound on the inverse frequency-map gradient (d inputBin /
+    # d outputBin, and the formant target-band slope), used to size the
+    # windowed-interp geometry (wavefront._window_geometry).  None => a
+    # conservative 4.0.  Builders with concrete controls set max(1, 1/mult).
+    inv_grad_bound: Optional[float] = None
 
     def __hash__(self):
         return hash((self.mapped, self.process_formants,
                      self.formant_compensation, id(self.custom_map),
-                     self.formant_auto))
+                     self.formant_auto, self.inv_grad_bound))
+
+
+def inv_grad_bound_for(freq_multiplier: float, formant_multiplier: float = 1.0,
+                       formant_compensation: bool = False,
+                       has_custom_map: bool = False,
+                       process_formants: bool = False) -> Optional[float]:
+    """Host-side bound on the window-interp position slopes (SpectralFlags
+    .inv_grad_bound) from concrete control values.
+
+    The output map's inputBin slope is bounded by the inverse frequency-map
+    gradient (max(1, 1/mult) for the tonality-limit map, :850-856); the
+    formant target-band slope by the inv-formant map (:920-925), composed with
+    mapFreq under pitch compensation.  Custom maps return None (conservative
+    default geometry).  Env override: SST_INTERP_GRAD."""
+    env = os.environ.get("SST_INTERP_GRAD")
+    if env:
+        return float(env)
+    if has_custom_map:
+        return None
+    g = max(1.0, 1.0 / float(freq_multiplier))
+    if process_formants:
+        gf = max(1.0, 1.0 / float(formant_multiplier))
+        if formant_compensation:
+            gf *= max(1.0, float(freq_multiplier))
+        g = max(g, gf)
+    return g
 
 
 class Controls(NamedTuple):

@@ -38,6 +38,7 @@ reference's own chaos bound, docs/PARITY.md).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -99,6 +100,155 @@ def _interp_gather(rows: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     return lo + (hi - lo) * frac
 
 
+def _interp_mode() -> str:
+    """Fractional-bin interpolation strategy for the mapped regime.
+
+    "window" replaces XLA's per-element dynamic gather (~14-56 ns/element on
+    TPU -- the scalar core walks every index) with an exact windowed one-hot
+    selection on the MXU: output bins are processed in chunks of C, each chunk
+    dynamic-slices an L-wide window of the source rows (anchored at the
+    chunk's min index), and a [2C, L] one-hot matrix selects the floor/ceil
+    taps as one matmul.  With Precision.HIGHEST the selection is BIT-EXACT
+    (0/1 weights are exact in every bf16 pass and adding zeros is exact).
+    On TPU the final `lo + (hi - lo) * frac` then matches _interp_gather bit
+    for bit (measured); on CPU LLVM may contract the lerp into an fma inside
+    the fused consumer loop, giving <=1 ulp deviation (tests allow it).
+    Measured ~1.2-2.1 ns/element at bench shapes -- 26-46x over gather.
+    """
+    mode = os.environ.get("SST_INTERP", "auto")
+    if mode == "auto":
+        return "window" if jax.default_backend() != "cpu" else "gather"
+    return mode
+
+
+# (C, L) geometries ordered by measured cost (ns/element at bench shapes);
+# capacity = L - 3 bins of position spread within a C-chunk.
+_WINDOW_GEOMETRIES = ((64, 128), (128, 256), (128, 384), (128, 512),
+                      (128, 768), (128, 1024))
+
+
+def _window_geometry(grad_bound: float, rand_extra: float):
+    """Pick the cheapest (C, L) whose capacity covers the worst within-chunk
+    position spread: the output map's slope is bounded by 1.5x the inverse
+    frequency-map gradient (smoothstep overshoot, :894-912), plus the
+    randomized binTimeFactor range, plus slack."""
+    for C, L in _WINDOW_GEOMETRIES:
+        need = 1.5 * grad_bound * (C - 1) + rand_extra + 6.0
+        if need <= L - 3:
+            return C, L
+    return None
+
+
+def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
+                         C: int, L: int, slab: int = 8,
+                         taps: bool = False):
+    """Exact fractional interpolation of n planes at shared positions.
+
+    planes [nB, n, W0] float32, pos [nB, B] -> ([nB, n, B], violations).
+    Values are zero outside [0, W0) (matching _interp_gather); `violations`
+    counts in-range positions that fell outside their chunk's L-window (the
+    geometry guarantees zero for maps within the declared gradient bound --
+    tests assert it, and the count is returned for diagnostics).
+
+    With taps=True returns ((lo, hi), violations) instead of the assembled
+    lerp: lo[b] = planes[floor(pos[b])], hi[b] = planes[floor(pos[b]) + 1]
+    (zero outside [0, W0)) -- the exact tap pair, for callers with different
+    boundary/combination semantics (e.g. the peak-table lookups).
+    """
+    nB, n, W0 = planes.shape
+    B = pos.shape[1]
+    nchunk = -(-B // C)
+    Bp = nchunk * C
+    nslab = -(-nB // slab)
+    nBp = nslab * slab
+    f1 = jnp.float32
+
+    pp = jnp.pad(pos, ((0, nBp - nB), (0, Bp - B)), mode="edge")
+    pl = jnp.pad(planes, ((0, nBp - nB), (0, 0), (0, 0)))
+    low = jnp.floor(pp)
+    li = low.astype(jnp.int32)
+    frac = (pp - low).astype(jnp.float32)
+    li_c = li.reshape(nslab, slab, nchunk, C)
+    frac_c = frac.reshape(nslab, slab, nchunk, C)
+    pz = jnp.pad(pl.reshape(nslab, slab, n, W0),
+                 ((0, 0), (0, 0), (0, 0), (L, L)))
+
+    def do_slab(args):
+        lic, frc, pzs = args
+        # lic [slab, nchunk, C]; pzs [slab, n, W0 + 2L]
+        s = jnp.clip(jnp.min(lic, axis=-1) - 1, -L, W0)     # [slab, nchunk]
+
+        def sl(row, s0):
+            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
+
+        win = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
+                       in_axes=(0, 0))(pzs, s)              # [slab,nchunk,n,L]
+        rel = lic - s[..., None]                            # [slab, nchunk, C]
+        wio = jnp.arange(L, dtype=jnp.int32)
+        vlo = (lic >= 0) & (lic < W0)
+        vhi = (lic + 1 >= 0) & (lic + 1 < W0)
+        Mlo = jnp.where((rel[..., None] == wio) & vlo[..., None], f1(1), f1(0))
+        Mhi = jnp.where(((rel + 1)[..., None] == wio) & vhi[..., None],
+                        f1(1), f1(0))
+        M = jnp.concatenate([Mlo, Mhi], axis=-2)            # [slab,nchunk,2C,L]
+        out = jnp.einsum("scxw,scwn->scxn", M, jnp.moveaxis(win, -2, -1),
+                         precision=jax.lax.Precision.HIGHEST)
+        lo = out[..., :C, :]
+        hi = out[..., C:, :]
+        bad = (vlo & ((rel < 0) | (rel > L - 2))).sum()
+
+        def fold(res):                                      # [slab,nchunk,C,n]
+            return jnp.moveaxis(res, -1, 1).reshape(slab, n, Bp)
+
+        if taps:
+            return (fold(lo), fold(hi)), bad
+        return fold(lo + (hi - lo) * frc[..., None]), bad
+
+    outs, bads = jax.lax.map(do_slab, (li_c, frac_c, pz))
+
+    def trim(o):
+        return o.reshape(nBp, n, Bp)[:nB, :, :B]
+
+    if taps:
+        return (trim(outs[0]), trim(outs[1])), jnp.sum(bads)
+    return trim(outs), jnp.sum(bads)
+
+
+class _WindowInterp:
+    """Bound interpolator: packs complex/real rows, applies the windowed
+    selection, tracks the violation diagnostic across calls."""
+
+    def __init__(self, C: int, L: int):
+        self.C, self.L = C, L
+        self.violations = jnp.int32(0)
+
+    def __call__(self, rows_list, pos):
+        """rows_list: list of [nB, W0] arrays (f32 or c64, same W0);
+        pos [nB, B].  Returns list of interpolated [nB, B] arrays."""
+        planes = []
+        kinds = []
+        for r in rows_list:
+            if jnp.iscomplexobj(r):
+                planes += [r.real, r.imag]
+                kinds.append("c")
+            else:
+                planes.append(r)
+                kinds.append("f")
+        vals, bad = interp_planes_window(
+            jnp.stack(planes, axis=1), pos, self.C, self.L)
+        self.violations = self.violations + bad
+        out = []
+        i = 0
+        for k in kinds:
+            if k == "c":
+                out.append(jax.lax.complex(vals[:, i], vals[:, i + 1]))
+                i += 2
+            else:
+                out.append(vals[:, i])
+                i += 1
+        return out
+
+
 def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.ndarray:
     """rows [nB, B] interpolated at positions float32(b) - shift[k] via one
     dynamic slice + lerp per block (no gathers).  |shift| must be < margin.
@@ -128,6 +278,167 @@ def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.nda
     lo_val = jnp.where(hi_case, v_b, v_a)
     hi_val = jnp.where(hi_case, v_c, v_b)
     return lo_val + (hi_val - lo_val) * frac
+
+
+def _segsum_mode() -> str:
+    """Run-segment summation strategy for the peak finder.
+
+    "matmul": windowed one-hot MXU formulation -- each 512-bin chunk's run
+    ids stay within ceil(512/2)+1 of the chunk-start id (run starts are >=2
+    bins apart), so a [C, 384] one-hot matmul produces chunk-local partial
+    sums which are then shifted to absolute segment positions (batched
+    dynamic_slice) and added.  ~10x faster than TPU scatter-add, but the
+    per-segment accumulation order differs from the reference's sequential
+    += (bin-ascending scatter), so peak centroids can drift ~1 ulp -- fine
+    for the chaos-gated mapped regime, kept off the CPU parity path.
+    """
+    mode = os.environ.get("SST_SEGSUM", "auto")
+    if mode == "auto":
+        return "matmul" if jax.default_backend() != "cpu" else "scatter"
+    return mode
+
+
+def _segment_sum_runs(data_planes, seg, above, nseg, C=512, slab=8):
+    """Windowed segment sum: data_planes [nB, n, B] f32, seg [nB, B] int32
+    nondecreasing run ids (increments <= 1 every 2 bins), above [nB, B] mask
+    of contributing bins.  Returns [nB, n, nseg] sums."""
+    nB, n, B = data_planes.shape
+    nchunk = -(-B // C)
+    Bp = nchunk * C
+    Lp = C // 2 + 128          # max in-chunk id delta is ceil(C/2)+1
+    nslab = -(-nB // slab)
+    nBp = nslab * slab
+    f1 = jnp.float32
+
+    segp = jnp.pad(seg, ((0, nBp - nB), (0, Bp - B)), mode="edge")
+    maskp = jnp.pad(above, ((0, nBp - nB), (0, Bp - B)))
+    datap = jnp.pad(data_planes, ((0, nBp - nB), (0, 0), (0, Bp - B)))
+    seg_c = segp.reshape(nBp, nchunk, C)
+    anchors = seg_c[:, :, 0]                                # [nBp, nchunk]
+    rel = seg_c - anchors[:, :, None]
+    mask_c = maskp.reshape(nBp, nchunk, C)
+    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 3, 1))
+
+    def do_slab(args):
+        relc, mc, dc, anc = args
+        # relc [slab, nchunk, C]; dc [slab, nchunk, C, n]; anc [slab, nchunk]
+        lio = jnp.arange(Lp, dtype=jnp.int32)
+        M = jnp.where((relc[..., None] == lio) & mc[..., None], f1(1), f1(0))
+        partial = jnp.einsum("scxl,scxn->scln", M, dc,
+                             precision=jax.lax.Precision.HIGHEST)
+        # shift partials to absolute segment positions and accumulate;
+        # anchors range [-1, nseg) (run_id is -1 before the first run), so
+        # pad generously enough that no dynamic_slice start ever clamps
+        pp = jnp.pad(partial, ((0, 0), (0, 0),
+                               (nseg + 8, max(0, nseg + 8 - Lp)), (0, 0)))
+
+        def sl(row, a):    # row [2*nseg + 16, n]
+            return jax.lax.dynamic_slice(row, (nseg + 8 - a, 0), (nseg, n))
+
+        shifted = jax.vmap(jax.vmap(sl, in_axes=(0, 0)),
+                           in_axes=(0, 0))(pp, anc)
+        return jnp.sum(shifted, axis=1)                      # [slab, nseg, n]
+
+    outs = jax.lax.map(do_slab, (rel.reshape(nslab, slab, nchunk, C),
+                                 mask_c.reshape(nslab, slab, nchunk, C),
+                                 data_c.reshape(nslab, slab, nchunk, C, n),
+                                 anchors.reshape(nslab, slab, nchunk)))
+    out = outs.reshape(nBp, nseg, n)[:nB]
+    return jnp.moveaxis(out, 1, 2)                           # [nB, n, nseg]
+
+
+def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
+    """Batched twin of spectral._peaks_and_map over [nB, B], with the
+    per-bin peak-table lookups (peak_out/peak_in at k-1 and k, :894-912)
+    done as exact windowed tap selection on the MXU instead of dynamic
+    gathers (~500 ms -> ~50 ms at bench shapes).
+
+    Value-identical to the vmapped per-block version: the tap select is
+    exact, and the only entries that differ from its clipped gathers (the
+    prev-tap at k == 0) feed lanes the bottom mask discards.  Controls
+    leaves are scalars or [nB, 1] (automation).  Returns
+    (input_bin, freq_grad, window_violations).
+    """
+    f1 = jnp.float32
+    nB, B = energy.shape
+    nseg = B // 2 + 2
+    above = energy > smoothed
+    start = above & jnp.concatenate(
+        [jnp.ones((nB, 1), bool), ~above[:, :-1]], axis=1)
+    run_id = jnp.cumsum(start.astype(jnp.int32), axis=1) - 1
+    seg = jnp.where(above, run_id, nseg - 1)
+    b_idx = jnp.arange(B, dtype=jnp.float32)
+
+    if _segsum_mode() == "matmul":
+        sums = _segment_sum_runs(
+            jnp.stack([b_idx[None] * energy, energy], axis=1),
+            run_id, above, nseg)
+        band_sum, energy_sum = sums[:, 0], sums[:, 1]
+    else:
+        seg_sum = jax.vmap(
+            lambda d, s: jax.ops.segment_sum(d, s, num_segments=nseg))
+        band_sum = seg_sum(b_idx[None] * energy, seg)
+        energy_sum = seg_sum(energy, seg)
+    n_peaks = jnp.sum((start & above).astype(jnp.int32), axis=1)   # [nB]
+
+    valid = jnp.arange(nseg)[None] < n_peaks[:, None]
+    avg_band = band_sum / jnp.where(energy_sum == 0, f32(1), energy_sum)
+    peak_in = jnp.where(valid, avg_band, f32(0))
+    avg_freq = spectral._band_to_freq(avg_band, consts)
+    peak_out_raw = spectral._freq_to_band(
+        spectral.map_freq(avg_freq, controls, flags), consts)
+    peak_out = jnp.where(valid, peak_out_raw, jnp.float32(np.inf))
+
+    cells = jnp.where(valid,
+                      jnp.clip(jnp.ceil(peak_out), 0, B).astype(jnp.int32),
+                      jnp.int32(B))
+    hist = jax.vmap(lambda c: jnp.zeros(B + 1, jnp.int32).at[c].add(1))(cells)
+    k = jnp.cumsum(hist[:, :B], axis=1)                            # [nB, B]
+
+    last = jnp.maximum(n_peaks - 1, 0)
+    first_in, first_out = peak_in[:, 0], peak_out[:, 0]
+    last_in = jnp.take_along_axis(peak_in, last[:, None], 1)[:, 0]
+    valid_last = jnp.take_along_axis(valid, last[:, None], 1)[:, 0]
+    last_out = jnp.where(valid_last,
+                         jnp.take_along_axis(peak_out, last[:, None], 1)[:, 0],
+                         f32(0))
+
+    # prev/next peak per bin: taps at k-1 / k of the [peak_out, peak_in]
+    # tables (pos k-0.5 makes floor/ceil land exactly there).  The matmul
+    # multiplies EVERY window entry by its (mostly zero) weight, so the inf
+    # fill of invalid peak_out entries would produce 0*inf = NaN; use a
+    # 0-filled table instead -- entries past n_peaks are only selected at
+    # k == n_peaks lanes, which the top rule masks (k == n_peaks implies
+    # b >= ceil(last_out) >= trunc(last_out)).
+    peak_out_tbl = jnp.where(valid, peak_out_raw, f32(0))
+    tables = jnp.stack([peak_out_tbl, peak_in], axis=1)            # [nB,2,nseg]
+    (lo, hi), bad = interp_planes_window(
+        tables, k.astype(jnp.float32) - f1(0.5), *geom, taps=True)
+    prev_o, prev_in_ = lo[:, 0], lo[:, 1]
+    next_o, next_in_ = hi[:, 0], hi[:, 1]
+
+    range_scale = f32(1) / (next_o - prev_o)
+    out_offset = prev_in_ - prev_o
+    out_scale = next_in_ - next_o - prev_in_ + prev_o
+    grad_scale = out_scale * range_scale
+    r = (b_idx[None] - prev_o) * range_scale
+    h = r * r * (3 - 2 * r)
+    pair_bin = b_idx[None] + out_offset + h * out_scale
+    pair_grad = 1 + (6 * r * (1 - r)) * grad_scale
+
+    top_start = jnp.maximum(jnp.int32(0), last_out.astype(jnp.int32))
+    is_top = jnp.arange(B)[None] >= top_start[:, None]
+    is_bottom = (k == 0) & ~is_top
+    input_bin = jnp.where(
+        is_top, b_idx[None] + (last_in - last_out)[:, None],
+        jnp.where(is_bottom, b_idx[None] + (first_in - first_out)[:, None],
+                  pair_bin))
+    freq_grad = jnp.where(is_top | is_bottom, f32(1), pair_grad)
+
+    no_peaks = (n_peaks == 0)[:, None]
+    input_bin = jnp.where(no_peaks, b_idx[None], input_bin)
+    freq_grad = jnp.where(no_peaks, f32(1), freq_grad)
+    return input_bin, freq_grad, bad
 
 
 class SweepInputs(NamedTuple):
@@ -170,6 +481,20 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     reanalyse = arrays["reanalyse"]
     tf_np = arrays["time_factor"]         # numpy f32 [nB]
     rotor = jnp.asarray(consts.rotor)     # [B] complex64
+
+    # static time-factor facts (needed up front to size the interp windows)
+    tf = np.maximum(tf_np, f32(1.0 / MAX_CLEAN_STRETCH))    # static [nB]
+    any_random = bool((tf > f32(MAX_CLEAN_STRETCH)).any())
+
+    interp = None
+    if flags.mapped and _interp_mode() == "window":
+        grad_bound = flags.inv_grad_bound or 4.0
+        rand_extra = (float(longv) * 2.0
+                      * max(0.0, float(tf.max()) - MAX_CLEAN_STRETCH)
+                      if any_random else 0.0)
+        geom = _window_geometry(grad_bound, rand_extra)
+        if geom is not None:
+            interp = _WindowInterp(*geom)
 
     # Controls may carry per-block automation arrays ([nB] leaves) instead of
     # scalars — the TPU-native form of the worklet's schedule() automation.
@@ -227,7 +552,11 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         def pm(en, smo, ctl):
             return spectral._peaks_and_map(en, smo, ctl, flags, consts)
 
-        if automated:
+        if interp is not None:
+            input_bin, freq_grad, pm_bad = _peaks_and_map_batched(
+                energy, sm, ctrl_bb, flags, consts, (interp.C, interp.L))
+            interp.violations = interp.violations + pm_bad
+        elif automated:
             input_bin, freq_grad = jax.vmap(pm)(energy, sm, controls)
         else:
             input_bin, freq_grad = jax.vmap(
@@ -281,26 +610,53 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         output_f = spectral.inv_map_formant(output_f, ctrl_bb)
         target_band = spectral._freq_to_band(output_f, consts)  # [B] or [nB, B]
         tb = jnp.minimum(target_band, f32(B))
-        floor_band = jnp.floor(tb).astype(jnp.int32)
-        frac = tb - floor_band.astype(jnp.float32)
-        if floor_band.ndim == 1:
-            lo = jnp.take(env_pad, jnp.clip(floor_band, 0, B + 1), axis=-1)
-            hi = jnp.take(env_pad, jnp.clip(floor_band + 1, 0, B + 1), axis=-1)
+        finterp = None
+        if _interp_mode() == "window":
+            geom_f = _window_geometry(flags.inv_grad_bound or 4.0, 0.0)
+            if geom_f is not None:
+                finterp = _WindowInterp(*geom_f)
+        if finterp is not None:
+            # windowed selection over env_pad (width B+2, zeros at B, B+1)
+            # is bit-identical to the clipped take: any clipped index lands
+            # on env[0] (then forced to 0 by the target_band<0 mask) or on
+            # the zero pad (see _interp_mode).
+            tbb = jnp.broadcast_to(tb, (nB, B))
+            (env_v,) = finterp([env_pad], tbb)
+            target_e = jnp.where(target_band < 0, f32(0), env_v)
         else:
-            lo = jnp.take_along_axis(env_pad, jnp.clip(floor_band, 0, B + 1), -1)
-            hi = jnp.take_along_axis(env_pad,
-                                     jnp.clip(floor_band + 1, 0, B + 1), -1)
-        target_e = jnp.where(target_band < 0, f32(0), lo + (hi - lo) * frac)
+            floor_band = jnp.floor(tb).astype(jnp.int32)
+            frac = tb - floor_band.astype(jnp.float32)
+            if floor_band.ndim == 1:
+                lo = jnp.take(env_pad, jnp.clip(floor_band, 0, B + 1), axis=-1)
+                hi = jnp.take(env_pad, jnp.clip(floor_band + 1, 0, B + 1),
+                              axis=-1)
+            else:
+                lo = jnp.take_along_axis(env_pad,
+                                         jnp.clip(floor_band, 0, B + 1), -1)
+                hi = jnp.take_along_axis(env_pad,
+                                         jnp.clip(floor_band + 1, 0, B + 1), -1)
+            target_e = jnp.where(target_band < 0, f32(0),
+                                 lo + (hi - lo) * frac)
         ratio = target_e / (env + f32(1e-30))               # [nB, B]
         in_energy = in_energy * ratio[:, None, :]
 
     # ---- preliminary-prediction constants (:697-719) ----------------------
     if flags.mapped:
-        pe = [_interp_gather(in_energy[:, c], input_bin)
-              * jnp.maximum(f32(0), freq_grad) for c in range(ch)]
-        pi = [_interp_gather(input_eff[:, c], input_bin) for c in range(ch)]
-        prev_i = [_interp_gather(prev_eff[:, c], input_bin)
+        pos_grad = jnp.maximum(f32(0), freq_grad)
+        if interp is not None:
+            vals = interp([in_energy[:, c] for c in range(ch)]
+                          + [input_eff[:, c] for c in range(ch)]
+                          + [prev_eff[:, c] for c in range(ch)], input_bin)
+            pe = [vals[c] * pos_grad for c in range(ch)]
+            pi = [vals[ch + c] for c in range(ch)]
+            prev_i = [vals[2 * ch + c] for c in range(ch)]
+        else:
+            pe = [_interp_gather(in_energy[:, c], input_bin) * pos_grad
                   for c in range(ch)]
+            pi = [_interp_gather(input_eff[:, c], input_bin)
+                  for c in range(ch)]
+            prev_i = [_interp_gather(prev_eff[:, c], input_bin)
+                      for c in range(ch)]
     else:
         pe = [in_energy[:, c] for c in range(ch)]
         pi = [input_eff[:, c] for c in range(ch)]
@@ -321,8 +677,6 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     mc = jnp.argmax(jnp.stack(pe, 1), axis=1).astype(jnp.int32)  # [nB, B]
     pi_max = _sel(mc, pi)
 
-    tf = np.maximum(tf_np, f32(1.0 / MAX_CLEAN_STRETCH))    # static [nB]
-    any_random = bool((tf > f32(MAX_CLEAN_STRETCH)).any())
     tf_j = jnp.asarray(tf)
 
     if any_random:
@@ -361,12 +715,35 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         ul = _shift_up(ld, longv)
         return sd, ld, us, ul
 
-    sd = [None] * ch
-    ld = [None] * ch
-    us = [None] * ch
-    ul = [None] * ch
-    for c in range(ch):
-        sd[c], ld[c], us[c], ul[c] = vote_gathers(input_eff[:, c])
+    if interp is not None:
+        zs = [input_eff[:, c] for c in range(ch)]
+        base = input_bin
+        if any_random:
+            # _shift_up zero-fills the last k positions; those votes are
+            # masked out of a1/a2 below, but a zero position would drag the
+            # tail chunk's window anchor away from its real positions -- use
+            # the (equally masked) unshifted value as an in-range sentinel.
+            bi = jnp.arange(B)[None, :]
+            base_up1 = jnp.where(bi < B - 1, _shift_up(base, 1), base)
+            base_upl = jnp.where(bi < B - longv, _shift_up(base, longv), base)
+            sd = interp(zs, base - btf1)
+            ld = interp(zs, base - f32(longv) * btf1)
+            us = interp(zs, base_up1 - btf2)
+            ul = interp(zs, base_upl - f32(longv) * btf2)
+        else:
+            sd = interp(zs, base - tf_j[:, None])
+            ld = interp(zs, base - f32(longv) * tf_j[:, None])
+            us = [_shift_up(x, 1) for x in sd]
+            ul = [_shift_up(x, longv) for x in ld]
+        if debug:
+            dbg["interp_violations"] = interp.violations
+    else:
+        sd = [None] * ch
+        ld = [None] * ch
+        us = [None] * ch
+        ul = [None] * ch
+        for c in range(ch):
+            sd[c], ld[c], us[c], ul[c] = vote_gathers(input_eff[:, c])
     short_down = _sel(mc, sd)
     long_down = _sel(mc, ld)
     up_short = _sel(mc, us)

@@ -1,0 +1,160 @@
+"""Windowed one-hot MXU interpolation (wavefront.interp_planes_window).
+
+The mapped regime's fractional-bin gathers are the TPU bottleneck (XLA lowers
+dynamic gathers to the scalar core, ~14-56 ns/element); the window path
+replaces them with exact one-hot matmul selection.  These tests pin:
+
+- tap selection (floor/ceil values, OOB-zero semantics) is bit-exact vs the
+  gather path; the assembled lerp is within 1 ulp (CPU fma contraction --
+  see _interp_mode docstring; on TPU it is bit-exact end to end),
+- undersized windows are *detected* (violations counter), never silent,
+- the geometry chosen from the inv_grad_bound hint covers the tonality-limit
+  map's worst case,
+- a full mapped render through the window path matches the gather path.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from signalsmith_stretch_tpu import spectral, wavefront
+from signalsmith_stretch_tpu.models import StretchModel
+
+
+def _ulp_close(a, b):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    ai = a.view(np.int32).astype(np.int64)
+    bi = b.view(np.int32).astype(np.int64)
+    same_val = a == b  # covers +0/-0
+    return np.where(same_val, 0, np.abs(ai - bi)).max() <= 1
+
+
+def _ref_interp(planes, pos):
+    n = planes.shape[1]
+    return jnp.stack([wavefront._interp_gather(planes[:, i], pos)
+                      for i in range(n)], 1)
+
+
+@pytest.mark.parametrize("C,L", [(64, 128), (64, 256), (128, 256), (128, 512)])
+def test_window_matches_gather(C, L):
+    rng = np.random.default_rng(7)
+    nB, n, B = 23, 5, 511
+    planes = jnp.asarray(rng.standard_normal((nB, n, B)).astype(np.float32))
+    # slope ~0.9 monotone positions with jitter, OOB at both ends
+    base = np.arange(B) * 0.9 - 30
+    pos = jnp.asarray((base[None, :]
+                       + rng.uniform(-2, 2, (nB, B))).astype(np.float32))
+    out, bad = jax.jit(
+        lambda p, q: wavefront.interp_planes_window(p, q, C, L))(planes, pos)
+    assert int(bad) == 0
+    assert _ulp_close(out, _ref_interp(planes, pos))
+
+
+def test_window_oob_zero_semantics():
+    rng = np.random.default_rng(3)
+    nB, n, B = 4, 2, 300
+    planes = jnp.asarray(rng.standard_normal((nB, n, B)).astype(np.float32))
+    pos = jnp.asarray(np.stack([
+        np.full(B, -50.0), np.full(B, B + 40.0),
+        np.linspace(-5, 5, B), np.linspace(B - 5, B + 5, B)],
+    ).astype(np.float32))
+    out, bad = jax.jit(
+        lambda p, q: wavefront.interp_planes_window(p, q, 64, 256))(planes, pos)
+    assert int(bad) == 0
+    assert _ulp_close(out, _ref_interp(planes, pos))
+    # fully-OOB rows must be exactly zero
+    assert np.all(np.asarray(out[0]) == 0)
+    assert np.all(np.asarray(out[1]) == 0)
+
+
+def test_undersized_window_is_detected():
+    rng = np.random.default_rng(5)
+    nB, n, B = 6, 3, 512
+    planes = jnp.asarray(rng.standard_normal((nB, n, B)).astype(np.float32))
+    # slope ~3 positions blow past a 128-wide window for 128-chunks
+    pos = jnp.asarray((np.arange(B) * 3.0 % (B - 2))[None, :].repeat(nB, 0)
+                      .astype(np.float32))
+    _, bad = jax.jit(
+        lambda p, q: wavefront.interp_planes_window(p, q, 128, 128))(planes, pos)
+    assert int(bad) > 0
+
+
+def test_geometry_covers_tonality_map():
+    # max inverse gradient 2 (12 semitones down) -> needs cap >= 1.5*2*(C-1)
+    geom = wavefront._window_geometry(2.0, 0.0)
+    assert geom is not None
+    C, L = geom
+    assert 1.5 * 2.0 * (C - 1) + 6 <= L - 3
+    # conservative default must also resolve
+    assert wavefront._window_geometry(4.0, 0.0) is not None
+    # absurd bound falls back to gather
+    assert wavefront._window_geometry(64.0, 0.0) is None
+
+
+@pytest.mark.parametrize("kw,of", [
+    (dict(semitones=5, tonality_hz=2000), 1.25),
+    (dict(semitones=-7, tonality_hz=1500), 1.0),
+    (dict(semitones=3, formant_semitones=-4, formant_compensation=True), 1.25),
+    (dict(semitones=2), 2.5),   # randomized (>2x) regime
+])
+def test_full_render_window_vs_gather(kw, of, monkeypatch):
+    rng = np.random.default_rng(0)
+    rate = 8000
+    in_len = rate  # 1 s keeps CPU compile time sane
+    out_len = int(in_len * of)
+    t = np.arange(in_len) / rate
+    mono = (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * rng.standard_normal(in_len)).astype(np.float32)
+    audio = np.stack([mono, np.roll(mono, 17)])[None]
+
+    def render(mode):
+        monkeypatch.setenv("SST_INTERP", mode)
+        m = StretchModel.build(channels=2, sample_rate=rate,
+                               in_samples=in_len, out_samples=out_len,
+                               cheaper=True, **kw)
+        return np.asarray(m.batched(jnp.asarray(audio)))
+
+    g = render("gather")
+    w = render("window")
+    # the 1-ulp lerp difference feeds the phase recursion; over 1 s the
+    # divergence stays far below the oracle-parity gates
+    num = ((g - w) ** 2).mean()
+    den = max((g ** 2).mean(), 1e-30)
+    db = 10 * np.log10(num / den + 1e-30)
+    assert db < -80, f"window-vs-gather render deviates {db:.1f} dB"
+
+
+def test_planner_debug_reports_no_violations(monkeypatch):
+    """Adversarial check through plan_spectral itself: steep map + automation."""
+    monkeypatch.setenv("SST_INTERP", "window")
+    from signalsmith_stretch_tpu import engine
+    from signalsmith_stretch_tpu.config import StretchConfig
+
+    rng = np.random.default_rng(2)
+    rate = 8000
+    cfg = StretchConfig.preset_cheaper(2, rate)
+    plan = engine.build_exact_plan(cfg, rate, int(rate * 1.25))
+    consts = plan.consts
+    nB = plan.frame_idx.shape[0]
+    B = consts.bands
+    flags = spectral.SpectralFlags(mapped=True, process_formants=True,
+                                   formant_compensation=True,
+                                   inv_grad_bound=2.0)
+    controls = spectral.Controls.make(freq_multiplier=0.5,
+                                      freq_tonality_limit=0.2,
+                                      formant_multiplier=1.3)
+    sre = rng.standard_normal((nB, 2, B)).astype(np.float32)
+    sim = rng.standard_normal((nB, 2, B)).astype(np.float32)
+
+    @jax.jit
+    def run(re, im):
+        spec = jax.lax.complex(re, im)
+        _, dbg = wavefront.plan_spectral(spec, jnp.zeros_like(spec),
+                                         plan.arrays, controls, flags,
+                                         consts, 0, debug=True)
+        return dbg["interp_violations"]
+
+    assert int(run(sre, sim)) == 0
