@@ -79,26 +79,35 @@ def _build_timeline(audio: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
 
 def _overlap_add(blocks_t: jnp.ndarray, out_pos: np.ndarray,
                  ring_len: int, block: int, interval: int) -> jnp.ndarray:
-    """blocks_t [nB, ch, block] -> ring [ch, ring_len] via strided fold.
+    """blocks_t [nB, ch, block] -> ring [ch, ring_len] via group fold.
 
     Block placement is uniform every `interval` samples (the reference fires a
-    block each interval of output, :281), so the fold reduces to summing a few
-    row-shifted copies of an [nB, m*interval] view.
+    block each interval of output, :281).  Blocks k = g, g+m, g+2m, ... (with
+    m = ceil(block/interval)) are m*interval >= block apart, so within a group
+    they never overlap: each group is just its blocks laid end to end (a free
+    reshape when m*interval == block), and the ring is the sum of the m group
+    strips at offsets first + g*interval.  This avoids reshaping to an
+    [..., interval]-minor layout (interval is rarely a 128 multiple, and
+    unaligned minor dims relayout at ~1/10 bandwidth on TPU).
     """
     n_b, ch, _ = blocks_t.shape
     first = int(out_pos[0])
     m = -(-block // interval)
     pad = m * interval - block
-    z = jnp.pad(blocks_t, ((0, 0), (0, 0), (0, pad)))
-    z = z.reshape(n_b, ch, m, interval)
-    rows = n_b + m
-    ring2d = jnp.zeros((ch, rows, interval), jnp.float32)
-    for i in range(m):
-        ring2d = ring2d.at[:, i:i + n_b].add(jnp.moveaxis(z[:, :, i], 0, 1))
-    flat = ring2d.reshape(ch, rows * interval)
-    out = jnp.zeros((ch, ring_len), jnp.float32)
-    n = min(rows * interval, ring_len - first)
-    return out.at[:, first:first + n].set(flat[:, :n])
+    total = jnp.zeros((ch, ring_len), jnp.float32)
+    for g in range(m):
+        grp = blocks_t[g::m]                       # [n_g, ch, block]
+        n_g = grp.shape[0]
+        if not n_g:
+            continue
+        if pad:
+            grp = jnp.pad(grp, ((0, 0), (0, 0), (0, pad)))
+        flat = jnp.moveaxis(grp, 1, 0).reshape(ch, n_g * m * interval)
+        ofs = first + g * interval
+        seg = max(0, min(n_g * m * interval, ring_len - ofs))
+        if seg:
+            total = total.at[:, ofs:ofs + seg].add(flat[:, :seg])
+    return total
 
 
 def render_exact(audio: jnp.ndarray, plan: ExactPlan,

@@ -256,16 +256,22 @@ def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.nda
     Bit-matches the gather path: the position is the *rounded* float32
     difference (the reference computes `inputBin - binTimeFactor` in float,
     :750), so floor(p) can be either b-floor(shift)-1 or b-floor(shift)
-    depending on per-bin rounding — hence the three-row window and select."""
+    depending on per-bin rounding — hence the three-row window and select.
+
+    The pad/window widths are fixed at 128 (>= any clean-regime margin) so
+    every materialized buffer keeps a 128-multiple minor dim — unaligned
+    minors relayout at ~1/10 bandwidth on TPU."""
     nB, B = rows.shape
-    pad = jnp.zeros((nB, margin), rows.dtype)
+    M = 128
+    assert margin <= M, margin
+    pad = jnp.zeros((nB, M), rows.dtype)
     padded = jnp.concatenate([pad, rows, pad], axis=1)
     m = jnp.floor(shift).astype(jnp.int32)            # per-block
 
     def slice_row(row, s):
-        return jax.lax.dynamic_slice_in_dim(row, s, B + 2)
+        return jax.lax.dynamic_slice_in_dim(row, s, B + M)
 
-    win = jax.vmap(slice_row)(padded, margin - 1 - m)  # [nB, B+2]
+    win = jax.vmap(slice_row)(padded, M - 1 - m)      # [nB, B+M]
     v_a = win[:, :B]          # arr[b - m - 1]
     v_b = win[:, 1:B + 1]     # arr[b - m]
     v_c = win[:, 2:B + 2]     # arr[b - m + 1]
@@ -798,37 +804,58 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
     longv = consts.long_vertical_step
     step = longv + 1
     nB = inputs.a1.shape[0]
-    ch = len(inputs.pe)
 
-    outs = _run_sweep(inputs, longv)               # [D, ch, nB]
-    skewed = jnp.transpose(outs, (2, 0, 1))        # [nB, D, ch]
-    out = unskew(skewed, step, consts.bands)       # [nB, B, ch]
-    return jnp.moveaxis(out, 2, 1)                 # [nB, ch, B]
+    # pe is bit-identical to |pi|^2 whenever the identity map fed the
+    # prediction stage (pe = in_energy = re^2+im^2 of input_eff, computed
+    # with the same float32 ops) — recompute it in-cell and drop 2 planes
+    # from the streamed xs
+    pe_from_pi = not flags.mapped and not flags.process_formants
+    outs = _run_sweep(inputs, longv, pe_from_pi=pe_from_pi)  # [D, ch, nBp]
+    # keep channels major throughout (a [.., ch]-minor layout wastes 63/64
+    # of every tile); unskew per channel on lane-dim D rows
+    sk = jnp.transpose(outs, (1, 2, 0))[:, :nB]    # [ch, nB, D]
+    ch_n, _, D = sk.shape
+    flat = sk.reshape(ch_n, nB * D)
+    tail = jnp.zeros((ch_n, nB * step), sk.dtype)
+    view = jnp.concatenate([flat, tail], axis=1).reshape(ch_n, nB, D + step)
+    out = view[:, :, :consts.bands]                # [ch, nB, B]
+    return jnp.moveaxis(out, 0, 1)                 # [nB, ch, B]
 
 
-def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32):
+def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32,
+               pe_from_pi: bool = False):
     """Scan over diagonals, `unroll` diagonals per step (fatter DMA, fewer
     sequential steps; the in-step chain runs on register values).
 
-    The xs layout is built with exactly ONE materialization (the dominant cost
-    of the whole render is this inflated diagonal-major copy — measured 48% of
-    the pipeline before the fusions below):
+    LANE ALIGNMENT IS EVERYTHING here: an xs whose minor dimension is not a
+    multiple of 128 streams through lax.scan at ~6 GB/s on TPU (the padded
+    tiles defeat the DMA path); the same data 128-aligned streams at
+    ~550 GB/s — measured 90x.  The block-row count nB (the sweep's lane dim)
+    is therefore zero-padded to a 128 multiple, and the diagonal count D to a
+    multiple of lcm(K, 128).  Padded rows carry all-zero planes, which
+    propagate exact zeros through the cell (pe=0 forces the weak-phase branch
+    of _make_output to 0*sqrt(0/floor)=0), so valid rows never see them: the
+    only same-diagonal coupling is shift_k, which reads row k-1 < nB.
+
+    Other layout notes:
       - all planes pack into one [P, nB, B] array (15 separate skews measured
         ~7x slower); XLA fuses the stack into the plane producers,
       - the pad-flatten-reshape skew pads the row pitch so the diagonal count
-        comes out at a multiple of K directly — padding to D afterwards was a
-        second full copy (+95 ms at bench shapes),
-      - the [D, P, nB] transpose materializes once as the scan operand
-        (unavoidable: scan xs must be diagonal-major); K=32 slabs make that
-        relayout DMA-efficient (K=16 measured ~10% slower end to end),
+        comes out at a multiple of K directly,
+      - the [D, P, nBp] transpose materializes once as the scan operand
+        (scan xs must be diagonal-major),
       - for <=2 channels the max-channel plane is recomputed in-register from
         the prediction energies instead of being carried (argmax over 2)."""
     nB = inputs.a1.shape[0]
     ch = len(inputs.pe)
     step = longv + 1
-    D0 = inputs.a1.shape[1] + (nB - 1) * step
     K = unroll
-    D = -(-D0 // K) * K
+    nBp = -(-nB // 128) * 128
+    D0 = inputs.a1.shape[1] + (nB - 1) * step
+    # pitch covers the padded rows; D0 diagonals are the valid prefix
+    Dmin = inputs.a1.shape[1] + (nBp - 1) * step
+    align = K * 128 // np.gcd(K, 128)
+    D = -(-Dmin // align) * align
 
     carry_mc = ch > 2
     arrs = []
@@ -837,22 +864,32 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32):
         arrs += [z.real, z.imag]
     if carry_mc:
         arrs.append(inputs.mc.astype(jnp.float32))
-    for c in range(ch):
-        arrs.append(inputs.pe[c])
+    if not pe_from_pi:
+        for c in range(ch):
+            arrs.append(inputs.pe[c])
     for c in range(ch):
         arrs += [inputs.pi[c].real, inputs.pi[c].imag]
     packed = jnp.stack(arrs, axis=0)               # [P, nB, B]
     P = packed.shape[0]
     B = packed.shape[2]
-    # skew with row pitch T = D + step: the flatten/prefix/reshape view then
-    # yields [nB, D] rows (columns beyond B + k*step read the zero pad), so no
-    # separate pad-to-D pass is needed
-    T = D + step
-    xp = jnp.pad(packed, [(0, 0), (0, 0), (0, T - B)])
-    flat = xp.reshape(P, nB * T)
-    sk = flat[:, :nB * (T - step)].reshape(P, nB, D)
-    sk = jnp.transpose(sk, (2, 0, 1))              # [D, P, nB] (bins in lanes)
-    sk = sk.reshape(D // K, K, P, nB)
+    # Skew by row-scan: step k places row k at lane offset k*step of a
+    # zeroed [P, D] frame (contiguous DMA at arbitrary byte offsets), then
+    # one aligned-dims transpose to diagonal-major.  3x faster than the
+    # pad-flatten-reshape pitch merge, whose unaligned row pitch forces a
+    # lane-rotation relayout (~35 GB/s); all arrays here keep 128-multiple
+    # minor dims.
+    def skew_row(_, k):
+        kc = jnp.minimum(k, nB - 1)
+        row = jax.lax.dynamic_slice(packed, (0, kc, 0), (P, 1, B))
+        row = jnp.where(k < nB, row, jnp.zeros((), packed.dtype))
+        frame = jax.lax.dynamic_update_slice(
+            jnp.zeros((P, 1, D), packed.dtype), row, (0, 0, kc * step))
+        return _, frame[:, 0]
+
+    _, rows = jax.lax.scan(skew_row, jnp.float32(0),
+                           jnp.arange(nBp, dtype=jnp.int32))  # [nBp, P, D]
+    sk = jnp.transpose(rows, (2, 1, 0))            # [D, P, nBp] (rows in lanes)
+    sk = sk.reshape(D // K, K, P, nBp)
 
     def unpack(row):
         """row [K, P, nB] -> SweepInputs-like views with [K, nB] planes."""
@@ -869,8 +906,12 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32):
         d1 = C(take(), take())
         d2 = C(take(), take())
         mc = take().astype(jnp.int32) if carry_mc else None
-        pe = tuple(take() for _ in range(ch))
-        pi = tuple(C(take(), take()) for _ in range(ch))
+        if pe_from_pi:
+            pi = tuple(C(take(), take()) for _ in range(ch))
+            pe = tuple(p.real * p.real + p.imag * p.imag for p in pi)
+        else:
+            pe = tuple(take() for _ in range(ch))
+            pi = tuple(C(take(), take()) for _ in range(ch))
         if not carry_mc:
             # argmax over <=2 channels, first-wins on ties (:722)
             mc = (jnp.zeros(pe[0].shape, jnp.int32) if ch == 1
@@ -915,6 +956,8 @@ def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32):
         ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
         return ring2, jnp.stack(emitted, axis=0)   # [K, ch, nB]
 
-    ring0 = jnp.zeros((longv, ch, nB), inputs.a1.dtype)
-    _, outs = jax.lax.scan(body, ring0, xs)        # [D/K, K, ch, nB]
-    return outs.reshape(D, ch, nB)[:D0]            # [D0, ch, nB]
+    ring0 = jnp.zeros((longv, ch, nBp), inputs.a1.dtype)
+    _, outs = jax.lax.scan(body, ring0, xs)        # [D/K, K, ch, nBp]
+    # returned unsliced: D and nBp stay 128-aligned for the consumer's
+    # transpose; valid data is diagonals < D0 at rows < nB (rest is zero)
+    return outs.reshape(D, ch, nBp)
