@@ -20,6 +20,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
+
+# persistent TPU compile cache (separate from the CPU test cache; see
+# tests/conftest.py note) -- first-run compiles at bench shapes take minutes
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import jax.numpy as jnp  # noqa: E402
 
 from signalsmith_stretch_tpu.models import StretchModel  # noqa: E402

@@ -79,7 +79,7 @@ def _build_timeline(audio: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
 
 def _overlap_add(blocks_t: jnp.ndarray, out_pos: np.ndarray,
                  ring_len: int, block: int, interval: int) -> jnp.ndarray:
-    """blocks_t [nB, ch, block] -> ring [ch, ring_len] via group fold.
+    """blocks_t [ch, nB, block] -> ring [ch, ring_len] via group fold.
 
     Block placement is uniform every `interval` samples (the reference fires a
     block each interval of output, :281).  Blocks k = g, g+m, g+2m, ... (with
@@ -90,19 +90,19 @@ def _overlap_add(blocks_t: jnp.ndarray, out_pos: np.ndarray,
     [..., interval]-minor layout (interval is rarely a 128 multiple, and
     unaligned minor dims relayout at ~1/10 bandwidth on TPU).
     """
-    n_b, ch, _ = blocks_t.shape
+    ch, n_b, _ = blocks_t.shape
     first = int(out_pos[0])
     m = -(-block // interval)
     pad = m * interval - block
     total = jnp.zeros((ch, ring_len), jnp.float32)
     for g in range(m):
-        grp = blocks_t[g::m]                       # [n_g, ch, block]
-        n_g = grp.shape[0]
+        grp = blocks_t[:, g::m]                    # [ch, n_g, block]
+        n_g = grp.shape[1]
         if not n_g:
             continue
         if pad:
             grp = jnp.pad(grp, ((0, 0), (0, 0), (0, pad)))
-        flat = jnp.moveaxis(grp, 1, 0).reshape(ch, n_g * m * interval)
+        flat = grp.reshape(ch, n_g * m * interval)
         ofs = first + g * interval
         seg = max(0, min(n_g * m * interval, ring_len - ofs))
         if seg:
@@ -185,11 +185,11 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     # ---- spectral processing ----------------------------------------------
     mode = os.environ.get("SST_ENGINE", "wavefront")
     if mode == "wavefront":
-        # batched precompute + diagonal sweep (wavefront.py)
+        # batched precompute + diagonal sweep (wavefront.py); channels-major
         from . import wavefront
         out_specs = wavefront.spectral_all_blocks(
             spectra, prev_spectra, plan.arrays, controls, flags,
-            plan.consts, seed)
+            plan.consts, seed)                       # [ch, nB, B]
     else:
         # reference per-block scan (streaming-engine semantics)
         xs = spectral.BlockInputs(
@@ -205,10 +205,11 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
             return spectral.process_block(carry, x, controls, flags,
                                           plan.consts)
 
-        _, out_specs = jax.lax.scan(step, carry0, xs)
+        _, out_specs = jax.lax.scan(step, carry0, xs)    # [nB, ch, B]
+        out_specs = jnp.moveaxis(out_specs, 0, 1)        # [ch, nB, B]
 
     # ---- synthesis + overlap-add ------------------------------------------
-    blocks_t = stft.synthesize(out_specs, plan.basis)    # [nB, ch, block]
+    blocks_t = stft.synthesize(out_specs, plan.basis)    # [ch, nB, block]
     ring = _overlap_add(blocks_t, plan.arrays["out_pos"], sch.ring_len,
                         cfg.block_samples, cfg.interval_samples)
 

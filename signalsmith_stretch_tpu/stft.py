@@ -72,82 +72,92 @@ def _fft_mode() -> str:
 def _dft_mats(fft_samples: int):
     """Constants for the two-stage Cooley-Tukey matmul DFT of the modified
     transform.  n = n1*N2 + n2, b = k1 + N1*k2 with k2 < N2/2 (upper half of
-    the spectrum is the conjugate mirror and never materialized)."""
+    the spectrum is the conjugate mirror and never materialized).
+
+    The modified transform's pre-twist e^{-i pi n / N} is separable
+    (t1[n1] * t2[n2]); it is folded into the stage-1 matrix (t1) and the
+    twiddle (t2), so the forward stage 1 consumes the REAL windowed signal
+    directly (2 real einsums instead of 4, no complex pre-twist buffers).
+    The inverse folds the conjugates the same way and produces only the real
+    part of u * conj(twist)."""
     N = fft_samples
     log2 = N.bit_length() - 1
     N1 = 1 << (log2 // 2)
     N2 = N // N1
-    w = np.exp(-2j * np.pi / N)
     k1 = np.arange(N1)
     n1 = np.arange(N1)
     n2 = np.arange(N2)
     k2 = np.arange(N2 // 2)
-    dft1 = np.exp(-2j * np.pi * np.outer(k1, n1) / N1)          # [K1, N1]
-    tw = np.exp(-2j * np.pi * np.outer(k1, n2) / N)             # [K1, N2]
+    t1 = np.exp(-1j * np.pi * n1 * N2 / N)                      # [N1]
+    t2 = np.exp(-1j * np.pi * n2 / N)                           # [N2]
+    dft1 = np.exp(-2j * np.pi * np.outer(k1, n1) / N1) * t1     # [K1, N1]
+    tw = np.exp(-2j * np.pi * np.outer(k1, n2) / N) * t2        # [K1, N2]
     dft2 = np.exp(-2j * np.pi * np.outer(n2, k2) / N2)          # [N2, K2]
-    # inverse (synthesis): u = (1/N) sum_b S_b W^{-nb}
+    # inverse (synthesis): y = 2 Re[(1/N) sum_b S_b W^{-nb} * conj(t1 t2)]
     idft2 = np.exp(+2j * np.pi * np.outer(k2, n2) / N2)         # [K2, N2]
-    itw = np.exp(+2j * np.pi * np.outer(n2, k1) / N)            # [N2, K1]
-    idft1 = np.exp(+2j * np.pi * np.outer(k1, n1) / N1) / N     # [K1, N1]
+    itw = (np.exp(+2j * np.pi * np.outer(n2, k1) / N).T
+           * np.conj(t2))                                       # [K1, N2]
+    idft1 = (np.exp(+2j * np.pi * np.outer(k1, n1) / N1) / N
+             * np.conj(t1))                                     # [K1, N1]
     c64 = lambda m: m.astype(np.complex64)
     return N1, N2, c64(dft1), c64(tw), c64(dft2), c64(idft2), c64(itw), c64(idft1)
 
 
-def _cmatmul(ar, ai, br, bi):
-    """(ar + i ai) @ (br + i bi) with f32-precision MXU dots."""
-    dot = functools.partial(jnp.matmul, precision="highest")
+def _cedot(sub: str, ar, ai, br, bi):
+    """Complex einsum (ar+i*ai) x (br+i*bi) at f32 MXU precision."""
+    dot = functools.partial(jnp.einsum, sub, precision="highest")
     return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
 
 
-def _matmul_dft(zr: jnp.ndarray, zi: jnp.ndarray, basis: StftBasis):
-    """Forward modified DFT of complex z [..., N] -> [..., N/2] (re, im)."""
+def _matmul_dft(y: jnp.ndarray, basis: StftBasis):
+    """Forward modified DFT of the REAL windowed signal y [..., N]
+    -> [..., N/2] (re, im); the modified pre-twist is folded into the
+    constants (see _dft_mats).
+
+    Stage orientation keeps every materialized intermediate's minor dim at
+    N2 = 128 (unaligned minors relayout at ~1/10 bandwidth on TPU); the only
+    sub-128 buffer is the final [k2, k1] tile pair, merged immediately into
+    the aligned [bands] layout (b = k1 + N1*k2).
+    """
     N1, N2, dft1, tw, dft2, _, _, _ = _dft_mats(basis.fft_samples)
-    shape = zr.shape[:-1]
-    zr = zr.reshape(-1, N1, N2)
-    zi = zi.reshape(-1, N1, N2)
-    # stage 1: contract n1 -> A[k1, n2]
-    d1r, d1i = jnp.asarray(dft1.real), jnp.asarray(dft1.imag)
-    ar, ai = _cmatmul(jnp.moveaxis(zr, -2, -1), jnp.moveaxis(zi, -2, -1),
-                      d1r.T, d1i.T)              # [batch, n2, k1]
-    # twiddle W_N^{k1 n2}
-    twr, twi = jnp.asarray(tw.real.T), jnp.asarray(tw.imag.T)  # [n2, k1]
+    shape = y.shape[:-1]
+    y = y.reshape(-1, N1, N2)                    # n = n1*N2 + n2, minor 128
+    # stage 1 (real input): contract n1 -> A[b, k1, n2]
+    dot = functools.partial(jnp.einsum, "kn,bnm->bkm", precision="highest")
+    ar = dot(jnp.asarray(dft1.real), y)
+    ai = dot(jnp.asarray(dft1.imag), y)
+    # twiddle (t2-folded)
+    twr, twi = jnp.asarray(tw.real), jnp.asarray(tw.imag)       # [K1, N2]
     br = ar * twr - ai * twi
     bi = ar * twi + ai * twr
-    # stage 2: contract n2 -> X[k1, k2];  operand layout [batch, k1, n2]
-    br = jnp.moveaxis(br, -2, -1)
-    bi = jnp.moveaxis(bi, -2, -1)
-    d2r, d2i = jnp.asarray(dft2.real), jnp.asarray(dft2.imag)
-    xr, xi = _cmatmul(br, bi, d2r, d2i)          # [batch, k1, k2]
-    # bins b = k1 + N1*k2 -> layout [k2, k1]
-    xr = jnp.moveaxis(xr, -2, -1).reshape(shape + (basis.bands,))
-    xi = jnp.moveaxis(xi, -2, -1).reshape(shape + (basis.bands,))
+    # stage 2: contract n2 -> X[b, k2, k1]
+    d2r, d2i = jnp.asarray(dft2.real), jnp.asarray(dft2.imag)   # [N2, K2]
+    xr, xi = _cedot("mq,bkm->bqk", d2r, d2i, br, bi)
+    xr = xr.reshape(shape + (basis.bands,))      # b = k1 + N1*k2
+    xi = xi.reshape(shape + (basis.bands,))
     return xr, xi
 
 
 def _matmul_idft(sr: jnp.ndarray, si: jnp.ndarray, basis: StftBasis):
-    """Inverse of _matmul_dft: [..., N/2] -> complex u [..., N] (re, im)."""
+    """Inverse of _matmul_dft: [..., N/2] -> REAL 2*Re[u*conj(twist)]
+    [..., N] (the conjugate twist is folded into the constants)."""
     N1, N2, _, _, _, idft2, itw, idft1 = _dft_mats(basis.fft_samples)
     shape = sr.shape[:-1]
     K2 = N2 // 2
-    sr = sr.reshape(-1, K2, N1)   # [batch, k2, k1]
+    sr = sr.reshape(-1, K2, N1)   # free view [b, k2, k1] of the aligned input
     si = si.reshape(-1, K2, N1)
-    # stage 1: contract k2 -> C[k1, n2]; operands as [batch, k1, k2]
-    sr = jnp.moveaxis(sr, -2, -1)
-    si = jnp.moveaxis(si, -2, -1)
+    # stage 1: contract k2 -> C[b, k1, n2] (minor 128)
     i2r, i2i = jnp.asarray(idft2.real), jnp.asarray(idft2.imag)  # [K2, N2]
-    cr, ci = _cmatmul(sr, si, i2r, i2i)          # [batch, k1, n2]
-    # twiddle W_N^{-n2 k1}
-    itr, iti = jnp.asarray(itw.real.T), jnp.asarray(itw.imag.T)  # [k1, n2]
+    cr, ci = _cedot("qm,bqk->bkm", i2r, i2i, sr, si)
+    # twiddle (conj-t2 folded)
+    itr, iti = jnp.asarray(itw.real), jnp.asarray(itw.imag)      # [K1, N2]
     dr = cr * itr - ci * iti
     di = cr * iti + ci * itr
-    # stage 2: contract k1 -> u[n1, n2]; operands [batch, n2, k1]
-    dr = jnp.moveaxis(dr, -2, -1)
-    di = jnp.moveaxis(di, -2, -1)
-    i1r, i1i = jnp.asarray(idft1.real), jnp.asarray(idft1.imag)  # [k1, n1]
-    ur, ui = _cmatmul(dr, di, i1r, i1i)          # [batch, n2, n1]
-    ur = jnp.moveaxis(ur, -2, -1).reshape(shape + (basis.fft_samples,))
-    ui = jnp.moveaxis(ui, -2, -1).reshape(shape + (basis.fft_samples,))
-    return ur, ui
+    # stage 2 (real output): contract k1, merge n = n1*N2 + n2
+    dot = functools.partial(jnp.einsum, "kn,bkm->bnm", precision="highest")
+    y = (dot(jnp.asarray(idft1.real), dr)
+         - dot(jnp.asarray(idft1.imag), di))
+    return 2.0 * y.reshape(shape + (basis.fft_samples,))
 
 
 def analyze(frames: jnp.ndarray, basis: StftBasis) -> jnp.ndarray:
@@ -157,12 +167,10 @@ def analyze(frames: jnp.ndarray, basis: StftBasis) -> jnp.ndarray:
     pad = basis.fft_samples - basis.block_samples
     if pad:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
-    twist = jnp.asarray(basis.twist)
     if _fft_mode() == "matmul":
-        zr = y * twist.real
-        zi = y * twist.imag
-        xr, xi = _matmul_dft(zr, zi, basis)
+        xr, xi = _matmul_dft(y, basis)
         return jax.lax.complex(xr, xi)
+    twist = jnp.asarray(basis.twist)
     z = y.astype(jnp.complex64) * twist
     spec = jnp.fft.fft(z, axis=-1)
     return spec[..., :basis.bands].astype(jnp.complex64)
@@ -173,12 +181,11 @@ def synthesize(spectra: jnp.ndarray, basis: StftBasis) -> jnp.ndarray:
 
     Matches the oracle: y[n] = 2*Re(ifft(pad(S))[n] * conj(twist[n])) * w[n].
     """
-    twist = jnp.asarray(basis.twist)
     if _fft_mode() == "matmul":
-        ur, ui = _matmul_idft(spectra.real, spectra.imag, basis)
-        y = 2.0 * (ur * twist.real + ui * twist.imag)
+        y = _matmul_idft(spectra.real, spectra.imag, basis)
         y = y[..., :basis.block_samples]
         return (y * jnp.asarray(basis.window)).astype(jnp.float32)
+    twist = jnp.asarray(basis.twist)
     pad = basis.fft_samples - basis.bands
     full = jnp.pad(spectra.astype(jnp.complex64),
                    [(0, 0)] * (spectra.ndim - 1) + [(0, pad)])

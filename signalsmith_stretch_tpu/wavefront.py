@@ -38,6 +38,7 @@ reference's own chaos bound, docs/PARITY.md).
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
@@ -170,8 +171,12 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
     frac = (pp - low).astype(jnp.float32)
     li_c = li.reshape(nslab, slab, nchunk, C)
     frac_c = frac.reshape(nslab, slab, nchunk, C)
+    # tail padding keeps the padded-row minor a 128 multiple (an unaligned
+    # minor dim relayouts at ~1/10 bandwidth on TPU); positions never reach
+    # the extra tail, which reads as the same zero fill
+    wpad = (-(W0 + 2 * L)) % 128
     pz = jnp.pad(pl.reshape(nslab, slab, n, W0),
-                 ((0, 0), (0, 0), (0, 0), (L, L)))
+                 ((0, 0), (0, 0), (0, 0), (L, L + wpad)))
 
     def do_slab(args):
         lic, frc, pzs = args
@@ -191,18 +196,24 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
         Mhi = jnp.where(((rel + 1)[..., None] == wio) & vhi[..., None],
                         f1(1), f1(0))
         M = jnp.concatenate([Mlo, Mhi], axis=-2)            # [slab,nchunk,2C,L]
-        out = jnp.einsum("scxw,scwn->scxn", M, jnp.moveaxis(win, -2, -1),
-                         precision=jax.lax.Precision.HIGHEST)
-        lo = out[..., :C, :]
-        hi = out[..., C:, :]
         bad = (vlo & ((rel < 0) | (rel > L - 2))).sum()
+        # output minor 2C (a 128 multiple); the "->scxn" orientation made
+        # the plane count n the minor dim (n <= ~10: the lane-alignment
+        # trap, ~1/10 bandwidth on TPU).  Selection stays exact (one-hot
+        # sums have a single non-zero term); the assembled lerp can differ
+        # from the gather path by fma-contraction noise on CPU (absolute
+        # ~1e-7 of the tap scale -- see tests/test_window_interp.py).
+        out = jnp.einsum("scxw,scnw->scnx", M, win,
+                         precision=jax.lax.Precision.HIGHEST)
+        lo = out[..., :C]                                   # [slab,nchunk,n,C]
+        hi = out[..., C:]
 
-        def fold(res):                                      # [slab,nchunk,C,n]
-            return jnp.moveaxis(res, -1, 1).reshape(slab, n, Bp)
+        def fold(res):                                      # [slab,nchunk,n,C]
+            return jnp.moveaxis(res, 1, 2).reshape(slab, n, Bp)
 
         if taps:
             return (fold(lo), fold(hi)), bad
-        return fold(lo + (hi - lo) * frc[..., None]), bad
+        return fold(lo + (hi - lo) * frc[:, :, None, :]), bad
 
     outs, bads = jax.lax.map(do_slab, (li_c, frac_c, pz))
 
@@ -286,6 +297,43 @@ def _interp_shift(rows: jnp.ndarray, shift: jnp.ndarray, margin: int) -> jnp.nda
     return lo_val + (hi_val - lo_val) * frac
 
 
+def _interp_shift_static(rows: jnp.ndarray, shift_np: np.ndarray) -> jnp.ndarray:
+    """rows [nB, B] interpolated at positions float32(b) - shift_np[k].
+
+    shift_np is HOST-side float32 (the schedule's time factors are static),
+    so all position math — floor, frac, per-bin lo/hi tap choice — happens in
+    numpy with the same IEEE float32 ops the traced version would use, and
+    the device work collapses to a fused select/lerp over a handful of
+    statically shifted row views (one per distinct tap shift).  No dynamic
+    slices, no gathers, no unaligned windows.  Bit-matches _interp_shift.
+    """
+    nB, B = rows.shape
+    b = np.arange(B, dtype=np.float32)
+    p = (b[None, :] - shift_np[:, None].astype(np.float32)).astype(np.float32)
+    li = np.floor(p)
+    frac = (p - li).astype(np.float32)
+    s_lo = np.arange(B, dtype=np.int64)[None, :] - li.astype(np.int64)
+    assert (s_lo >= 1).all(), "static shift interp expects shift >= 0.5"
+
+    views = {}
+
+    def view(s):
+        s = int(s)
+        if s not in views:
+            z = jnp.zeros((nB, min(s, B)), rows.dtype)
+            views[s] = jnp.concatenate([z, rows[:, :max(B - s, 0)]], 1)
+        return views[s]
+
+    svals = [int(s) for s in np.unique(s_lo)]
+    v_lo = view(svals[0])
+    v_hi = view(svals[0] - 1)
+    for s in svals[1:]:
+        m = jnp.asarray(s_lo == s)
+        v_lo = jnp.where(m, view(s), v_lo)
+        v_hi = jnp.where(m, view(s - 1), v_hi)
+    return v_lo + (v_hi - v_lo) * jnp.asarray(frac)
+
+
 def _segsum_mode() -> str:
     """Run-segment summation strategy for the peak finder.
 
@@ -323,34 +371,38 @@ def _segment_sum_runs(data_planes, seg, above, nseg, C=512, slab=8):
     anchors = seg_c[:, :, 0]                                # [nBp, nchunk]
     rel = seg_c - anchors[:, :, None]
     mask_c = maskp.reshape(nBp, nchunk, C)
-    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 3, 1))
+    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 1, 3))
+    # all minors below stay 128 multiples (unaligned minors relayout at
+    # ~1/10 bandwidth): partials are [.., n, Lp], slices [.., n, nsegp]
+    nsegp = -(-nseg // 128) * 128
+    W = nseg + 8 + max(Lp, nsegp + 8)
+    W += (-W) % 128
 
     def do_slab(args):
         relc, mc, dc, anc = args
-        # relc [slab, nchunk, C]; dc [slab, nchunk, C, n]; anc [slab, nchunk]
+        # relc [slab, nchunk, C]; dc [slab, nchunk, n, C]; anc [slab, nchunk]
         lio = jnp.arange(Lp, dtype=jnp.int32)
         M = jnp.where((relc[..., None] == lio) & mc[..., None], f1(1), f1(0))
-        partial = jnp.einsum("scxl,scxn->scln", M, dc,
+        partial = jnp.einsum("scxl,scnx->scnl", M, dc,
                              precision=jax.lax.Precision.HIGHEST)
         # shift partials to absolute segment positions and accumulate;
         # anchors range [-1, nseg) (run_id is -1 before the first run), so
         # pad generously enough that no dynamic_slice start ever clamps
-        pp = jnp.pad(partial, ((0, 0), (0, 0),
-                               (nseg + 8, max(0, nseg + 8 - Lp)), (0, 0)))
+        pp = jnp.pad(partial, ((0, 0), (0, 0), (0, 0),
+                               (nseg + 8, W - Lp - nseg - 8)))
 
-        def sl(row, a):    # row [2*nseg + 16, n]
-            return jax.lax.dynamic_slice(row, (nseg + 8 - a, 0), (nseg, n))
+        def sl(row, a):    # row [n, W]
+            return jax.lax.dynamic_slice(row, (0, nseg + 8 - a), (n, nsegp))
 
         shifted = jax.vmap(jax.vmap(sl, in_axes=(0, 0)),
                            in_axes=(0, 0))(pp, anc)
-        return jnp.sum(shifted, axis=1)                      # [slab, nseg, n]
+        return jnp.sum(shifted, axis=1)                      # [slab, n, nsegp]
 
     outs = jax.lax.map(do_slab, (rel.reshape(nslab, slab, nchunk, C),
                                  mask_c.reshape(nslab, slab, nchunk, C),
-                                 data_c.reshape(nslab, slab, nchunk, C, n),
+                                 data_c.reshape(nslab, slab, nchunk, n, C),
                                  anchors.reshape(nslab, slab, nchunk)))
-    out = outs.reshape(nBp, nseg, n)[:nB]
-    return jnp.moveaxis(out, 1, 2)                           # [nB, n, nseg]
+    return outs.reshape(nBp, n, nsegp)[:nB, :, :nseg]        # [nB, n, nseg]
 
 
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
@@ -398,7 +450,7 @@ def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     cells = jnp.where(valid,
                       jnp.clip(jnp.ceil(peak_out), 0, B).astype(jnp.int32),
                       jnp.int32(B))
-    hist = jax.vmap(lambda c: jnp.zeros(B + 1, jnp.int32).at[c].add(1))(cells)
+    hist = jax.vmap(lambda c: jnp.zeros(B + 128, jnp.int32).at[c].add(1))(cells)
     k = jnp.cumsum(hist[:, :B], axis=1)                            # [nB, B]
 
     last = jnp.maximum(n_peaks - 1, 0)
@@ -609,7 +661,7 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             env, e = scan_ops.decay_min_backward(env, e, inv_decay)
             env, e = scan_ops.decay_min_forward(env, e, inv_decay)
 
-        env_pad = jnp.concatenate([env, jnp.zeros((nB, 2), env.dtype)], -1)
+        env_pad = jnp.concatenate([env, jnp.zeros((nB, 128), env.dtype)], -1)
         input_f = jnp.asarray(consts.band_freq)
         output_f = (spectral.map_freq(input_f, ctrl_bb, flags)
                     if flags.formant_compensation else input_f)
@@ -713,8 +765,8 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             sd = _interp_gather(z, base - tf_j[:, None])
             ld = _interp_gather(z, base - f32(longv) * tf_j[:, None])
         else:
-            sd = _interp_shift(z, tf_j, margin)
-            ld = _interp_shift(z, f32(longv) * tf_j, margin)
+            sd = _interp_shift_static(z, tf)
+            ld = _interp_shift_static(z, (f32(longv) * tf).astype(f32))
         # same binTimeFactor in both vote branches => up positions are the
         # down positions shifted one (or longv) bins up (:764-786)
         us = _shift_up(sd, 1)
@@ -798,7 +850,9 @@ def _make_output(pe, pi, phase):
 
 def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
                         consts, seed):
-    """Full planned pipeline: [nB, ch, B] spectra -> [nB, ch, B] outputs."""
+    """Full planned pipeline: [nB, ch, B] spectra -> [ch, nB, B] outputs
+    (channels-major: the synthesis/OLA stages consume that layout with no
+    relayout)."""
     inputs = plan_spectral(spectra, prev_spectra, arrays, controls, flags,
                            consts, seed)
     longv = consts.long_vertical_step
@@ -810,154 +864,197 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
     # with the same float32 ops) — recompute it in-cell and drop 2 planes
     # from the streamed xs
     pe_from_pi = not flags.mapped and not flags.process_formants
-    outs = _run_sweep(inputs, longv, pe_from_pi=pe_from_pi)  # [D, ch, nBp]
-    # keep channels major throughout (a [.., ch]-minor layout wastes 63/64
-    # of every tile); unskew per channel on lane-dim D rows
-    sk = jnp.transpose(outs, (1, 2, 0))[:, :nB]    # [ch, nB, D]
-    ch_n, _, D = sk.shape
-    flat = sk.reshape(ch_n, nB * D)
-    tail = jnp.zeros((ch_n, nB * step), sk.dtype)
-    view = jnp.concatenate([flat, tail], axis=1).reshape(ch_n, nB, D + step)
-    out = view[:, :, :consts.bands]                # [ch, nB, B]
-    return jnp.moveaxis(out, 0, 1)                 # [nB, ch, B]
+    ch = len(inputs.pe)
+    # smaller unroll on CPU: results are K-invariant (the cell chain is
+    # identical), but the K-unrolled scan body dominates LLVM compile time
+    default_k = "32" if jax.default_backend() != "cpu" else "8"
+    unroll = int(os.environ.get("SST_SWEEP_UNROLL", default_k))
+    fn = _sweep_unskew_fn(longv, ch, pe_from_pi, consts.bands, unroll)
+    return fn(inputs)                              # [ch, nB, B]
 
 
-def _run_sweep(inputs: SweepInputs, longv: int, unroll: int = 32,
-               pe_from_pi: bool = False):
-    """Scan over diagonals, `unroll` diagonals per step (fatter DMA, fewer
-    sequential steps; the in-step chain runs on register values).
+@functools.lru_cache(maxsize=None)
+def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
+                     unroll: int = 32):
+    """custom_vmap'd (sweep + unskew): per-clip signature
+    SweepInputs([nB, B] leaves) -> [nB, ch, bands], with the batched rule
+    running one explicitly batched program whose layouts are chosen by hand.
 
     LANE ALIGNMENT IS EVERYTHING here: an xs whose minor dimension is not a
     multiple of 128 streams through lax.scan at ~6 GB/s on TPU (the padded
     tiles defeat the DMA path); the same data 128-aligned streams at
-    ~550 GB/s — measured 90x.  The block-row count nB (the sweep's lane dim)
-    is therefore zero-padded to a 128 multiple, and the diagonal count D to a
-    multiple of lcm(K, 128).  Padded rows carry all-zero planes, which
-    propagate exact zeros through the cell (pe=0 forces the weak-phase branch
-    of _make_output to 0*sqrt(0/floor)=0), so valid rows never see them: the
-    only same-diagonal coupling is shift_k, which reads row k-1 < nB.
+    ~550 GB/s — measured 90x.  The block-row count nB is therefore
+    zero-padded to a 128 multiple, the diagonal count D to a multiple of
+    lcm(K, 128), and the scan xs is laid out [S, K, P, batch, nBp] so every
+    per-cell plane slice row[j, p] is one contiguous [batch, nBp] tile
+    (under plain vmap the batch axis lands between S and K, which strides
+    every plane slice across P and costs ~2x).  Padded rows carry all-zero
+    planes, which propagate exact zeros through the cell (pe=0 forces the
+    weak-phase branch of _make_output to 0*sqrt(0/floor)=0); valid rows
+    never read them (the only same-diagonal coupling is shift_k, reading
+    row k-1 < nB).
 
     Other layout notes:
-      - all planes pack into one [P, nB, B] array (15 separate skews measured
-        ~7x slower); XLA fuses the stack into the plane producers,
-      - the pad-flatten-reshape skew pads the row pitch so the diagonal count
-        comes out at a multiple of K directly,
-      - the [D, P, nBp] transpose materializes once as the scan operand
-        (scan xs must be diagonal-major),
-      - for <=2 channels the max-channel plane is recomputed in-register from
-        the prediction energies instead of being carried (argmax over 2)."""
-    nB = inputs.a1.shape[0]
-    ch = len(inputs.pe)
+      - all planes pack into one [batch, P, nB, B] array; XLA fuses the
+        stack into the plane producers,
+      - the skew is a row-scan DUS-placing each block row at its diagonal
+        offset (contiguous byte-offset DMA) plus one aligned transpose —
+        3x faster than a pad-flatten-reshape pitch merge, whose unaligned
+        row pitch forces a lane-rotation relayout,
+      - for <=2 channels the max-channel plane is recomputed in-register
+        from the prediction energies (argmax over 2),
+      - pe planes are dropped from the xs and recomputed as |pi|^2 in-cell
+        when pe_from_pi (bit-identical for unmapped, formant-free configs).
+    """
+    from jax import custom_batching
+
     step = longv + 1
     K = unroll
-    nBp = -(-nB // 128) * 128
-    D0 = inputs.a1.shape[1] + (nB - 1) * step
-    # pitch covers the padded rows; D0 diagonals are the valid prefix
-    Dmin = inputs.a1.shape[1] + (nBp - 1) * step
-    align = K * 128 // np.gcd(K, 128)
-    D = -(-Dmin // align) * align
-
     carry_mc = ch > 2
-    arrs = []
-    for name in ("a1", "a2", "d1", "d2"):
-        z = getattr(inputs, name)
-        arrs += [z.real, z.imag]
-    if carry_mc:
-        arrs.append(inputs.mc.astype(jnp.float32))
-    if not pe_from_pi:
+
+    def batched_impl(inp: SweepInputs):
+        batch, nB, B = inp.a1.shape
+        nBp = -(-nB // 128) * 128
+        Dmin = B + (nBp - 1) * step
+        align = K * 128 // np.gcd(K, 128)
+        D = -(-Dmin // align) * align
+
+        arrs = []
+        for name in ("a1", "a2", "d1", "d2"):
+            z = getattr(inp, name)
+            arrs += [z.real, z.imag]
+        if carry_mc:
+            arrs.append(inp.mc.astype(jnp.float32))
+        if not pe_from_pi:
+            for c in range(ch):
+                arrs.append(inp.pe[c])
         for c in range(ch):
-            arrs.append(inputs.pe[c])
-    for c in range(ch):
-        arrs += [inputs.pi[c].real, inputs.pi[c].imag]
-    packed = jnp.stack(arrs, axis=0)               # [P, nB, B]
-    P = packed.shape[0]
-    B = packed.shape[2]
-    # Skew by row-scan: step k places row k at lane offset k*step of a
-    # zeroed [P, D] frame (contiguous DMA at arbitrary byte offsets), then
-    # one aligned-dims transpose to diagonal-major.  3x faster than the
-    # pad-flatten-reshape pitch merge, whose unaligned row pitch forces a
-    # lane-rotation relayout (~35 GB/s); all arrays here keep 128-multiple
-    # minor dims.
-    def skew_row(_, k):
-        kc = jnp.minimum(k, nB - 1)
-        row = jax.lax.dynamic_slice(packed, (0, kc, 0), (P, 1, B))
-        row = jnp.where(k < nB, row, jnp.zeros((), packed.dtype))
-        frame = jax.lax.dynamic_update_slice(
-            jnp.zeros((P, 1, D), packed.dtype), row, (0, 0, kc * step))
-        return _, frame[:, 0]
+            arrs += [inp.pi[c].real, inp.pi[c].imag]
+        packed = jnp.pad(jnp.stack(arrs, axis=1),
+                         ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
+        P = packed.shape[1]            # [batch, P, nBp, B]; pad rows zero
 
-    _, rows = jax.lax.scan(skew_row, jnp.float32(0),
-                           jnp.arange(nBp, dtype=jnp.int32))  # [nBp, P, D]
-    sk = jnp.transpose(rows, (2, 1, 0))            # [D, P, nBp] (rows in lanes)
-    sk = sk.reshape(D // K, K, P, nBp)
-
-    def unpack(row):
-        """row [K, P, nB] -> SweepInputs-like views with [K, nB] planes."""
-        C = jax.lax.complex
-        i = [0]
-
-        def take():
-            v = row[:, i[0]]
-            i[0] += 1
-            return v
-
-        a1 = C(take(), take())
-        a2 = C(take(), take())
-        d1 = C(take(), take())
-        d2 = C(take(), take())
-        mc = take().astype(jnp.int32) if carry_mc else None
-        if pe_from_pi:
-            pi = tuple(C(take(), take()) for _ in range(ch))
-            pe = tuple(p.real * p.real + p.imag * p.imag for p in pi)
+        if jax.default_backend() == "cpu":
+            # CPU: the pad-flatten-reshape pitch merge is a plain memcpy
+            # (no lane tiling), and the TPU row-scan's unrolled DUS makes
+            # LLVM compile for tens of minutes
+            T = D + step
+            xp = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, T - B)))
+            flat = xp.reshape(batch, P, nBp * T)
+            sk = flat[:, :, :nBp * (T - step)].reshape(batch, P, nBp, D)
+            sk = jnp.transpose(sk, (3, 1, 0, 2))   # [D, P, batch, nBp]
         else:
-            pe = tuple(take() for _ in range(ch))
-            pi = tuple(C(take(), take()) for _ in range(ch))
-        if not carry_mc:
-            # argmax over <=2 channels, first-wins on ties (:722)
-            mc = (jnp.zeros(pe[0].shape, jnp.int32) if ch == 1
-                  else (pe[1] > pe[0]).astype(jnp.int32))
-        return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc, pe=pe, pi=pi)
+            # TPU: 8 rows (one sublane tile-row) per step, rank-3 frames
+            # (a [.., 1, D] frame wastes 7/8 of every tile); contiguous
+            # byte-offset DUS placement beats the pitch merge 3x (its
+            # unaligned row pitch forces a lane-rotation relayout)
+            def skew_rows8(_, g):
+                blk = jax.lax.dynamic_slice(packed, (0, 0, g * 8, 0),
+                                            (batch, P, 8, B))
+                frames = []
+                for r in range(8):
+                    frames.append(jax.lax.dynamic_update_slice(
+                        jnp.zeros((batch, P, D), packed.dtype),
+                        blk[:, :, r], (0, 0, (g * 8 + r) * step)))
+                return _, jnp.stack(frames, 0)     # [8, batch, P, D]
 
-    xs = sk
+            _, rows = jax.lax.scan(skew_rows8, jnp.float32(0),
+                                   jnp.arange(nBp // 8, dtype=jnp.int32))
+            rows = rows.reshape(nBp, batch, P, D)
+            sk = jnp.transpose(rows, (3, 2, 1, 0))  # [D, P, batch, nBp]
+        xs = sk.reshape(D // K, K, P, batch, nBp)
 
-    def shift_k(x):
-        return jnp.concatenate(
-            [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], axis=-1)
+        def unpack(row):
+            """row [K, P, batch, nBp] -> planes [K, batch, nBp]."""
+            C = jax.lax.complex
+            i = [0]
 
-    def cell(ring_list, x, j):
-        """ring_list: newest-last python list of [ch][nB] rows."""
-        mc = x.mc[j]
-        prev1 = [ring_list[-1][c] for c in range(ch)]
-        prevl = [ring_list[0][c] for c in range(ch)]
-        down1 = _sel(mc, prev1)
-        downl = _sel(mc, prevl)
-        up1 = _sel(mc, [shift_k(p) for p in prevl])
-        upl = _sel(mc, [shift_k(p) for p in prev1])
-        phase = (x.d1[j] * down1 + x.d2[j] * downl) + x.a1[j] * up1 + x.a2[j] * upl
-        pe_max = _sel(mc, [x.pe[c][j] for c in range(ch)])
-        pi_max = _sel(mc, [x.pi[c][j] for c in range(ch)])
-        out_main = _make_output(pe_max, pi_max, phase)
-        outs = []
-        for c in range(ch):
-            ct = x.pi[c][j] * jnp.conj(pi_max)
-            locked = _make_output(x.pe[c][j], x.pi[c][j], out_main * ct)
-            outs.append(jnp.where(mc == c, out_main, locked))
-        return outs
+            def take():
+                v = row[:, i[0]]
+                i[0] += 1
+                return v
 
-    def body(ring, row):
-        x = unpack(row)
-        # ring: [longv, ch, nB]; list view newest-last
-        ring_list = [[ring[l, c] for c in range(ch)] for l in range(longv)]
-        emitted = []
-        for j in range(K):
-            outs = cell(ring_list, x, j)
-            ring_list = ring_list[1:] + [outs]
-            emitted.append(jnp.stack(outs, axis=0))
-        ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
-        return ring2, jnp.stack(emitted, axis=0)   # [K, ch, nB]
+            a1 = C(take(), take())
+            a2 = C(take(), take())
+            d1 = C(take(), take())
+            d2 = C(take(), take())
+            mc = take().astype(jnp.int32) if carry_mc else None
+            if pe_from_pi:
+                pi = tuple(C(take(), take()) for _ in range(ch))
+                pe = tuple(p.real * p.real + p.imag * p.imag for p in pi)
+            else:
+                pe = tuple(take() for _ in range(ch))
+                pi = tuple(C(take(), take()) for _ in range(ch))
+            if not carry_mc:
+                # argmax over <=2 channels, first-wins on ties (:722)
+                mc = (jnp.zeros(pe[0].shape, jnp.int32) if ch == 1
+                      else (pe[1] > pe[0]).astype(jnp.int32))
+            return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
+                               pe=pe, pi=pi)
 
-    ring0 = jnp.zeros((longv, ch, nBp), inputs.a1.dtype)
-    _, outs = jax.lax.scan(body, ring0, xs)        # [D/K, K, ch, nBp]
-    # returned unsliced: D and nBp stay 128-aligned for the consumer's
-    # transpose; valid data is diagonals < D0 at rows < nB (rest is zero)
-    return outs.reshape(D, ch, nBp)
+        def shift_k(x):
+            return jnp.concatenate(
+                [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], -1)
+
+        def cell(ring_list, x, j):
+            """ring_list: newest-last python list of [ch][batch, nBp]."""
+            mc = x.mc[j]
+            prev1 = [ring_list[-1][c] for c in range(ch)]
+            prevl = [ring_list[0][c] for c in range(ch)]
+            down1 = _sel(mc, prev1)
+            downl = _sel(mc, prevl)
+            up1 = _sel(mc, [shift_k(p) for p in prevl])
+            upl = _sel(mc, [shift_k(p) for p in prev1])
+            phase = (x.d1[j] * down1 + x.d2[j] * downl
+                     + x.a1[j] * up1 + x.a2[j] * upl)
+            pe_max = _sel(mc, [x.pe[c][j] for c in range(ch)])
+            pi_max = _sel(mc, [x.pi[c][j] for c in range(ch)])
+            out_main = _make_output(pe_max, pi_max, phase)
+            outs = []
+            for c in range(ch):
+                ct = x.pi[c][j] * jnp.conj(pi_max)
+                locked = _make_output(x.pe[c][j], x.pi[c][j], out_main * ct)
+                outs.append(jnp.where(mc == c, out_main, locked))
+            return outs
+
+        def body(ring, row):
+            x = unpack(row)
+            ring_list = [[ring[l, c] for c in range(ch)]
+                         for l in range(longv)]
+            emitted = []
+            for j in range(K):
+                outs = cell(ring_list, x, j)
+                ring_list = ring_list[1:] + [outs]
+                emitted.append(jnp.stack(outs, axis=0))
+            ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
+            return ring2, jnp.stack(emitted, axis=0)   # [K, ch, batch, nBp]
+
+        ring0 = jnp.zeros((longv, ch, batch, nBp), inp.a1.dtype)
+        _, outs = jax.lax.scan(body, ring0, xs)
+        outs = outs.reshape(D, ch, batch, nBp)
+
+        # unskew with channels/batch major, D in lanes (all aligned)
+        skc = jnp.transpose(outs, (1, 2, 3, 0))[:, :, :nB]  # [ch, batch, nB, D]
+        flat = skc.reshape(ch, batch, nB * D)
+        tail = jnp.zeros((ch, batch, nB * step), skc.dtype)
+        view = jnp.concatenate([flat, tail], 2).reshape(ch, batch, nB,
+                                                        D + step)
+        out = view[..., :bands]                    # [ch, batch, nB, bands]
+        # swap only the two major dims (minor layout untouched — cheap);
+        # the engine consumes channels-major [ch, nB, B] downstream
+        return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]
+
+    @custom_batching.custom_vmap
+    def fn(inp):
+        return batched_impl(jax.tree_util.tree_map(lambda x: x[None], inp))[0]
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, inp):
+        ib = in_batched[0]     # one positional arg -> one pytree of flags
+        inp = jax.tree_util.tree_map(
+            lambda x, b: x if b else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape),
+            inp, ib)
+        return batched_impl(inp), True
+
+    return fn

@@ -11,6 +11,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# persistent TPU compile cache: these tools re-run constantly while tuning
+# (separate dir from the CPU test cache; see tests/conftest.py note)
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,14 +63,15 @@ def main():
 
         spectra = jnp.stack([c64(c_) for c_ in range(ch)], axis=2)
         prev = jnp.stack([c64(ch + c_) for c_ in range(ch)], axis=2)
-        return jnp.moveaxis(spectra, 2, 1), jnp.moveaxis(prev, 2, 1)
+        return spectra, prev   # [batch, nB, ch, B]
 
     spectra, prev = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
 
     new = arrays["new_spectrum"]
     reanalyse = arrays["reanalyse"]
     tf_np = arrays["time_factor"]
-    rotor = jnp.asarray(consts.rotor)
+    rotor_np = consts.rotor  # keep host-side: c64 device arrays cannot
+    # cross back as jit constants on this backend (UNIMPLEMENTED)
     tf = np.maximum(tf_np, f32(1.0 / MAX_CLEAN_STRETCH))
     tf_j = jnp.asarray(tf)
     margin = int(np.ceil(longv * float(tf.max()))) + 2
@@ -75,6 +82,7 @@ def main():
             prev_base = pv
         else:
             prev_base = pv
+        rotor = jnp.asarray(rotor_np)
         prev_eff = prev_base * rotor if new.all() else prev_base
         in_energy = sp.real ** 2 + sp.imag ** 2
         return sp, prev_eff, in_energy
@@ -86,7 +94,7 @@ def main():
         prev_i = [prev_eff[:, c] for c in range(ch)]
         pe_prev = [jnp.concatenate([jnp.zeros((1, B), x.dtype), x[:-1]], 0)
                    for x in pe]
-        rotor_eff = rotor[None, :]
+        rotor_eff = jnp.asarray(rotor_np)[None, :]
         c1 = [rotor_eff * (pi[c] * jnp.conj(prev_i[c]))
               / (jnp.maximum(pe_prev[c], pe[c]) + f32(NOISE_FLOOR))
               for c in range(ch)]
