@@ -171,23 +171,17 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
     frac = (pp - low).astype(jnp.float32)
     li_c = li.reshape(nslab, slab, nchunk, C)
     frac_c = frac.reshape(nslab, slab, nchunk, C)
-    # tail padding keeps the padded-row minor a 128 multiple (an unaligned
-    # minor dim relayouts at ~1/10 bandwidth on TPU); positions never reach
-    # the extra tail, which reads as the same zero fill
-    wpad = (-(W0 + 2 * L)) % 128
     pz = jnp.pad(pl.reshape(nslab, slab, n, W0),
-                 ((0, 0), (0, 0), (0, 0), (L, L + wpad)))
+                 ((0, 0), (0, 0), (0, 0), (L, L)))
 
     def do_slab(args):
         lic, frc, pzs = args
         # lic [slab, nchunk, C]; pzs [slab, n, W0 + 2L]
         s = jnp.clip(jnp.min(lic, axis=-1) - 1, -L, W0)     # [slab, nchunk]
 
-        def sl(row, s0):
-            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
+        def sl(row, s0):                                    # row [W0 + 2L]
+            return jax.lax.dynamic_slice(row, (s0 + L,), (L,))
 
-        win = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
-                       in_axes=(0, 0))(pzs, s)              # [slab,nchunk,n,L]
         rel = lic - s[..., None]                            # [slab, nchunk, C]
         wio = jnp.arange(L, dtype=jnp.int32)
         vlo = (lic >= 0) & (lic < W0)
@@ -197,23 +191,29 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
                         f1(1), f1(0))
         M = jnp.concatenate([Mlo, Mhi], axis=-2)            # [slab,nchunk,2C,L]
         bad = (vlo & ((rel < 0) | (rel > L - 2))).sum()
-        # output minor 2C (a 128 multiple); the "->scxn" orientation made
-        # the plane count n the minor dim (n <= ~10: the lane-alignment
-        # trap, ~1/10 bandwidth on TPU).  Selection stays exact (one-hot
-        # sums have a single non-zero term); the assembled lerp can differ
-        # from the gather path by fma-contraction noise on CPU (absolute
-        # ~1e-7 of the tap scale -- see tests/test_window_interp.py).
-        out = jnp.einsum("scxw,scnw->scnx", M, win,
-                         precision=jax.lax.Precision.HIGHEST)
-        lo = out[..., :C]                                   # [slab,nchunk,n,C]
-        hi = out[..., C:]
 
-        def fold(res):                                      # [slab,nchunk,n,C]
-            return jnp.moveaxis(res, 1, 2).reshape(slab, n, Bp)
+        # one window/einsum per plane: slicing an [slab, nchunk, n, L] block
+        # in one op makes XLA relayout the padded planes to an n-minor
+        # (n <= ~10) layout whose lane padding needs ~18 GB at mapped bench
+        # shapes; per-plane everything stays 128-minor and the selection
+        # matrix M is shared
+        los, his, vals = [], [], []
+        for p in range(n):
+            win_p = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
+                             in_axes=(0, 0))(pzs[:, p], s)  # [slab,nchunk,L]
+            out_p = jnp.einsum("scxw,scw->scx", M, win_p,
+                               precision=jax.lax.Precision.HIGHEST)
+            lo_p = out_p[..., :C]
+            hi_p = out_p[..., C:]
+            if taps:
+                los.append(lo_p.reshape(slab, Bp))
+                his.append(hi_p.reshape(slab, Bp))
+            else:
+                vals.append((lo_p + (hi_p - lo_p) * frc).reshape(slab, Bp))
 
         if taps:
-            return (fold(lo), fold(hi)), bad
-        return fold(lo + (hi - lo) * frc[:, :, None, :]), bad
+            return (jnp.stack(los, 1), jnp.stack(his, 1)), bad
+        return jnp.stack(vals, 1), bad                      # [slab, n, Bp]
 
     outs, bads = jax.lax.map(do_slab, (li_c, frac_c, pz))
 
@@ -371,38 +371,34 @@ def _segment_sum_runs(data_planes, seg, above, nseg, C=512, slab=8):
     anchors = seg_c[:, :, 0]                                # [nBp, nchunk]
     rel = seg_c - anchors[:, :, None]
     mask_c = maskp.reshape(nBp, nchunk, C)
-    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 1, 3))
-    # all minors below stay 128 multiples (unaligned minors relayout at
-    # ~1/10 bandwidth): partials are [.., n, Lp], slices [.., n, nsegp]
-    nsegp = -(-nseg // 128) * 128
-    W = nseg + 8 + max(Lp, nsegp + 8)
-    W += (-W) % 128
+    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 3, 1))
 
     def do_slab(args):
         relc, mc, dc, anc = args
-        # relc [slab, nchunk, C]; dc [slab, nchunk, n, C]; anc [slab, nchunk]
+        # relc [slab, nchunk, C]; dc [slab, nchunk, C, n]; anc [slab, nchunk]
         lio = jnp.arange(Lp, dtype=jnp.int32)
         M = jnp.where((relc[..., None] == lio) & mc[..., None], f1(1), f1(0))
-        partial = jnp.einsum("scxl,scnx->scnl", M, dc,
+        partial = jnp.einsum("scxl,scxn->scln", M, dc,
                              precision=jax.lax.Precision.HIGHEST)
         # shift partials to absolute segment positions and accumulate;
         # anchors range [-1, nseg) (run_id is -1 before the first run), so
         # pad generously enough that no dynamic_slice start ever clamps
-        pp = jnp.pad(partial, ((0, 0), (0, 0), (0, 0),
-                               (nseg + 8, W - Lp - nseg - 8)))
+        pp = jnp.pad(partial, ((0, 0), (0, 0),
+                               (nseg + 8, max(0, nseg + 8 - Lp)), (0, 0)))
 
-        def sl(row, a):    # row [n, W]
-            return jax.lax.dynamic_slice(row, (0, nseg + 8 - a), (n, nsegp))
+        def sl(row, a):    # row [2*nseg + 16, n]
+            return jax.lax.dynamic_slice(row, (nseg + 8 - a, 0), (nseg, n))
 
         shifted = jax.vmap(jax.vmap(sl, in_axes=(0, 0)),
                            in_axes=(0, 0))(pp, anc)
-        return jnp.sum(shifted, axis=1)                      # [slab, n, nsegp]
+        return jnp.sum(shifted, axis=1)                      # [slab, nseg, n]
 
     outs = jax.lax.map(do_slab, (rel.reshape(nslab, slab, nchunk, C),
                                  mask_c.reshape(nslab, slab, nchunk, C),
-                                 data_c.reshape(nslab, slab, nchunk, n, C),
+                                 data_c.reshape(nslab, slab, nchunk, C, n),
                                  anchors.reshape(nslab, slab, nchunk)))
-    return outs.reshape(nBp, n, nsegp)[:nB, :, :nseg]        # [nB, n, nseg]
+    out = outs.reshape(nBp, nseg, n)[:nB]
+    return jnp.moveaxis(out, 1, 2)                           # [nB, n, nseg]
 
 
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
@@ -869,6 +865,12 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
     # identical), but the K-unrolled scan body dominates LLVM compile time
     default_k = "32" if jax.default_backend() != "cpu" else "8"
     unroll = int(os.environ.get("SST_SWEEP_UNROLL", default_k))
+    if flags.mapped or flags.process_formants:
+        # cut layout propagation from the sweep's packed layouts back into
+        # the planner: without this barrier XLA relayouts the windowed
+        # interp's padded planes to an n-minor layout whose lane padding
+        # needs ~18 GB at mapped bench shapes (values are unchanged)
+        inputs = jax.lax.optimization_barrier(inputs)
     fn = _sweep_unskew_fn(longv, ch, pe_from_pi, consts.bands, unroll)
     return fn(inputs)                              # [ch, nB, B]
 
