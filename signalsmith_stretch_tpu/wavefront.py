@@ -179,9 +179,11 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
         # lic [slab, nchunk, C]; pzs [slab, n, W0 + 2L]
         s = jnp.clip(jnp.min(lic, axis=-1) - 1, -L, W0)     # [slab, nchunk]
 
-        def sl(row, s0):                                    # row [W0 + 2L]
-            return jax.lax.dynamic_slice(row, (s0 + L,), (L,))
+        def sl(row, s0):
+            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
 
+        win = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
+                       in_axes=(0, 0))(pzs, s)              # [slab,nchunk,n,L]
         rel = lic - s[..., None]                            # [slab, nchunk, C]
         wio = jnp.arange(L, dtype=jnp.int32)
         vlo = (lic >= 0) & (lic < W0)
@@ -190,30 +192,18 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
         Mhi = jnp.where(((rel + 1)[..., None] == wio) & vhi[..., None],
                         f1(1), f1(0))
         M = jnp.concatenate([Mlo, Mhi], axis=-2)            # [slab,nchunk,2C,L]
+        out = jnp.einsum("scxw,scwn->scxn", M, jnp.moveaxis(win, -2, -1),
+                         precision=jax.lax.Precision.HIGHEST)
+        lo = out[..., :C, :]
+        hi = out[..., C:, :]
         bad = (vlo & ((rel < 0) | (rel > L - 2))).sum()
 
-        # one window/einsum per plane: slicing an [slab, nchunk, n, L] block
-        # in one op makes XLA relayout the padded planes to an n-minor
-        # (n <= ~10) layout whose lane padding needs ~18 GB at mapped bench
-        # shapes; per-plane everything stays 128-minor and the selection
-        # matrix M is shared
-        los, his, vals = [], [], []
-        for p in range(n):
-            win_p = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
-                             in_axes=(0, 0))(pzs[:, p], s)  # [slab,nchunk,L]
-            out_p = jnp.einsum("scxw,scw->scx", M, win_p,
-                               precision=jax.lax.Precision.HIGHEST)
-            lo_p = out_p[..., :C]
-            hi_p = out_p[..., C:]
-            if taps:
-                los.append(lo_p.reshape(slab, Bp))
-                his.append(hi_p.reshape(slab, Bp))
-            else:
-                vals.append((lo_p + (hi_p - lo_p) * frc).reshape(slab, Bp))
+        def fold(res):                                      # [slab,nchunk,C,n]
+            return jnp.moveaxis(res, -1, 1).reshape(slab, n, Bp)
 
         if taps:
-            return (jnp.stack(los, 1), jnp.stack(his, 1)), bad
-        return jnp.stack(vals, 1), bad                      # [slab, n, Bp]
+            return (fold(lo), fold(hi)), bad
+        return fold(lo + (hi - lo) * frc[..., None]), bad
 
     outs, bads = jax.lax.map(do_slab, (li_c, frac_c, pz))
 
