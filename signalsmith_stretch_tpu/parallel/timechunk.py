@@ -49,15 +49,19 @@ def plan_chunks(cfg: StretchConfig, in_samples: int, out_samples: int,
 
 def stretch_long(audio: np.ndarray, out_samples: int, cfg: StretchConfig,
                  controls: spectral.Controls, flags: spectral.SpectralFlags,
-                 n_chunks: int, seed: int = 0):
+                 n_chunks: int, seed: int = 0, mesh=None, axis: str = "data"):
     """Render a long clip as n_chunks independent re-anchored chunks.
 
     audio [ch, in_samples] -> [ch, out_samples].  The chunk axis is a plain
-    vmap (shard it with parallel.batch.make_mesh + device_put for multi-chip).
+    vmap; pass `mesh` (jax.sharding.Mesh) to shard the chunk axis across
+    devices — each device renders its time-chunks locally and the only
+    cross-device traffic is the final gather of disjoint output windows.
     Each chunk re-anchors through exact()'s outputSeek, so chunk outputs are
     sample-aligned; they differ from a monolithic render only in phase
     microstructure near chunk starts (fresh phase state; docs/PARITY.md).
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     ch, in_samples = audio.shape
     out_edges, starts, in_len, out_len = plan_chunks(
         cfg, in_samples, out_samples, n_chunks)
@@ -72,10 +76,20 @@ def stretch_long(audio: np.ndarray, out_samples: int, cfg: StretchConfig,
     plan = engine.build_exact_plan(cfg, in_len, out_len)
 
     def run(w, s):
-        return engine.render_exact(w, plan, controls, flags, seed=s)
+        return jax.vmap(lambda wi, si: engine.render_exact(
+            wi, plan, controls, flags, seed=si))(w, s)
 
-    seeds = jnp.arange(n_chunks, dtype=jnp.int32) + seed
-    outs = np.asarray(jax.jit(jax.vmap(run))(jnp.asarray(windows), seeds))
+    seeds = np.arange(n_chunks, dtype=np.int32) + seed
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis, None, None))
+        sseed = NamedSharding(mesh, P(axis))
+        w_dev = jax.device_put(windows, shard)
+        s_dev = jax.device_put(seeds, sseed)
+        fn = jax.jit(run, in_shardings=(shard, sseed), out_shardings=shard)
+        outs = np.asarray(fn(w_dev, s_dev))
+    else:
+        outs = np.asarray(jax.jit(run)(jnp.asarray(windows),
+                                       jnp.asarray(seeds)))
 
     result = np.zeros((ch, out_samples), np.float32)
     for i in range(n_chunks):

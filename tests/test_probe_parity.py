@@ -71,7 +71,7 @@ def run_probe(probe_bin, tmpdir, sig, rate, time_f=1.0, semitones=0.0,
 
 
 def plan_debug(sig, rate, semitones=0.0, tonality_hz=0.0, formant=0.0,
-               formant_comp=False, seed=1, cheaper=True):
+               formant_comp=False, seed=1, cheaper=True, time_f=1.0):
     """The framework side: exact()'s planner intermediates + main-block range.
 
     Mirrors engine.render_exact's analysis stage (frame gather + modified FFT)
@@ -95,7 +95,7 @@ def plan_debug(sig, rate, semitones=0.0, tonality_hz=0.0, formant=0.0,
     cfg, controls, flags = s._cfg, s._controls(), s._flags()
 
     L = sig.shape[1]
-    plan = engine.build_exact_plan(cfg, L, L)
+    plan = engine.build_exact_plan(cfg, L, int(round(L * time_f)))
     timeline = np.asarray(engine._build_timeline(jnp.asarray(sig), plan))
 
     block = cfg.block_samples
