@@ -24,6 +24,17 @@ from . import engine
 from .config import StretchConfig
 from .spectral import Controls, SpectralFlags
 
+
+def _merge_bounds(bounds) -> Optional[float]:
+    """Worst-case of several inv_grad_bound_for results: None (unbounded)
+    poisons the merge so consumers fall back to the exact gather path."""
+    out = None
+    for b in bounds:
+        if b is None:
+            return None
+        out = b if out is None else max(out, b)
+    return out
+
 f32 = np.float32
 
 
@@ -271,13 +282,15 @@ class SignalsmithStretch:
                               formant_auto=bool((fbase <= 0).any()),
                               # worst case over the automated range: the
                               # mapped slope peaks at mult.min(), the
-                              # compensated formant slope at mult.max()
-                              inv_grad_bound=max(
-                                  (inv_grad_bound_for(
+                              # compensated formant slope at mult.max().
+                              # Custom maps give None (unbounded -> gather)
+                              # unless SST_INTERP_GRAD forces a bound.
+                              inv_grad_bound=_merge_bounds(
+                                  inv_grad_bound_for(
                                       float(m), float(fm.min()),
                                       self._formant_compensation,
                                       has_custom_map=self._custom_map is not None,
-                                      process_formants=process_formants) or 4.0)
+                                      process_formants=process_formants)
                                   for m in (mult.min(), mult.max())))
         controls = Controls(
             freq_multiplier=jnp.asarray(mult),

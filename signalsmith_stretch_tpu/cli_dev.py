@@ -85,10 +85,13 @@ def main(argv=None):
     writer(args.output, out_np, rate)
 
     if args.profile:
-        stages = {
-            "full": lambda: guard.jitted(x),
-        }
-        times = profiling.stage_times(stages)
+        # per-step breakdown (cmd/main-dev.cpp:165-208): cumulative jitted
+        # prefixes of the pipeline, differenced into per-stage bars
+        xb = x[None]
+        seeds = jnp.full((1,), args.seed, jnp.int32)
+        times = profiling.stage_breakdown(model, xb, seeds)
+        for name, v in times.items():
+            print(f"\t{name:14s} {v * 1e3:9.2f} ms")
         profiling.write_svg_bars(
             "profile.svg", {k: v * 1000 for k, v in times.items()},
             title=f"{os.path.basename(args.input)} @ {args.time}x")

@@ -110,79 +110,80 @@ def _overlap_add(blocks_t: jnp.ndarray, out_pos: np.ndarray,
     return total
 
 
-def render_exact(audio: jnp.ndarray, plan: ExactPlan,
-                 controls: spectral.Controls, flags: spectral.SpectralFlags,
-                 seed: int = 0) -> jnp.ndarray:
-    """audio [ch, in_samples] float32 -> [ch, out_samples] float32."""
-    cfg, sch = plan.cfg, plan.sched
-    if not sch.valid:
-        return jnp.zeros((audio.shape[0], sch.out_samples), jnp.float32)
+def gather_frames(timeline: jnp.ndarray, idx: np.ndarray,
+                  block: int) -> jnp.ndarray:
+    """Static window extraction: timeline [ch, T] -> frames [nB, ch, block].
 
-    timeline = _build_timeline(audio, plan)
-
-    # ---- analysis (batched over blocks) -----------------------------------
-    # frame starts are static -> static slices (fused memcpys), not gathers;
-    # starts may be negative for the first frames (conceptual zero history)
-    block = cfg.block_samples
-
+    Frame starts are static -> static slices (fused memcpys), not gathers;
+    starts may be negative for the first frames (conceptual zero history).
+    Runs of uniform stride (the common constant-inputInterval case, e.g.
+    every main block of a fixed-rate render) collapse to one reshape +
+    ceil(block/stride)+1 shifted views instead of one slice per block —
+    ~40x fewer HLO ops, which is most of the cold-compile cost of the
+    static schedule."""
     ch_n = timeline.shape[0]
-
-    def gather_frames(idx: np.ndarray) -> jnp.ndarray:
-        """Static window extraction.  Runs of uniform stride (the common
-        constant-inputInterval case, e.g. every main block of a fixed-rate
-        render) collapse to one reshape + ceil(block/stride)+1 shifted views
-        instead of one slice per block — ~40x fewer HLO ops, which is most of
-        the cold-compile cost of the static schedule."""
-        starts = [int(s) for s in idx[:, 0]]
-        n = len(starts)
-        pieces = []
-        k = 0
-        while k < n:
-            s0 = starts[k]
-            j = k + 1
-            stride = 0
+    starts = [int(s) for s in idx[:, 0]]
+    n = len(starts)
+    pieces = []
+    k = 0
+    while k < n:
+        s0 = starts[k]
+        j = k + 1
+        stride = 0
+        if s0 >= 0:
+            while j < n:
+                d = starts[j] - starts[j - 1]
+                if d <= 0 or (stride and d != stride):
+                    break
+                stride = d
+                j += 1
+        run = j - k
+        if run >= 8 and stride > 0:
+            m = -(-block // stride) + 1
+            need = (run + m - 1) * stride
+            seg = timeline[:, s0:s0 + need]
+            short = need - seg.shape[1]
+            if short > 0:   # last rows reach past the timeline end; the
+                # excess columns are sliced off below, zeros are fine
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros((ch_n, short), jnp.float32)], axis=1)
+            M = seg.reshape(ch_n, run + m - 1, stride)
+            win = jnp.concatenate([M[:, i:i + run] for i in range(m)],
+                                  axis=-1)[:, :, :block]
+            pieces.append(jnp.moveaxis(win, 0, 1))    # [run, ch, block]
+            k = j
+        else:
             if s0 >= 0:
-                while j < n:
-                    d = starts[j] - starts[j - 1]
-                    if d <= 0 or (stride and d != stride):
-                        break
-                    stride = d
-                    j += 1
-            run = j - k
-            if run >= 8 and stride > 0:
-                m = -(-block // stride) + 1
-                need = (run + m - 1) * stride
-                seg = timeline[:, s0:s0 + need]
-                short = need - seg.shape[1]
-                if short > 0:   # last rows reach past the timeline end; the
-                    # excess columns are sliced off below, zeros are fine
-                    seg = jnp.concatenate(
-                        [seg, jnp.zeros((ch_n, short), jnp.float32)], axis=1)
-                M = seg.reshape(ch_n, run + m - 1, stride)
-                win = jnp.concatenate([M[:, i:i + run] for i in range(m)],
-                                      axis=-1)[:, :, :block]
-                pieces.append(jnp.moveaxis(win, 0, 1))    # [run, ch, block]
-                k = j
+                row = timeline[:, s0:s0 + block]
             else:
-                if s0 >= 0:
-                    row = timeline[:, s0:s0 + block]
-                else:
-                    pad = jnp.zeros((ch_n, -s0), jnp.float32)
-                    row = jnp.concatenate([pad, timeline[:, 0:block + s0]], 1)
-                pieces.append(row[None])
-                k += 1
-        return jnp.concatenate(pieces, axis=0)       # [nB, ch, block]
+                pad = jnp.zeros((ch_n, -s0), jnp.float32)
+                row = jnp.concatenate([pad, timeline[:, 0:block + s0]], 1)
+            pieces.append(row[None])
+            k += 1
+    return jnp.concatenate(pieces, axis=0)       # [nB, ch, block]
 
-    spectra = stft.analyze(gather_frames(plan.frame_idx), plan.basis)
-    n_b = spectra.shape[0]
+
+def analyze_stage(audio: jnp.ndarray, plan: ExactPlan):
+    """Stage 1 of exact(): timeline + frame gathers + modified-FFT analysis.
+    Returns (spectra, prev_spectra), both [nB, ch, B] complex64."""
+    timeline = _build_timeline(audio, plan)
+    block = plan.cfg.block_samples
+    spectra = stft.analyze(gather_frames(timeline, plan.frame_idx, block),
+                           plan.basis)
     if len(plan.re_rows):
-        re_spec = stft.analyze(gather_frames(plan.re_frame_idx), plan.basis)
+        re_spec = stft.analyze(
+            gather_frames(timeline, plan.re_frame_idx, block), plan.basis)
         prev_spectra = (jnp.zeros_like(spectra)
                         .at[jnp.asarray(plan.re_rows)].set(re_spec))
     else:
         prev_spectra = jnp.zeros_like(spectra)
+    return spectra, prev_spectra
 
-    # ---- spectral processing ----------------------------------------------
+
+def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
+                   controls: spectral.Controls, flags: spectral.SpectralFlags,
+                   seed=0) -> jnp.ndarray:
+    """Stage 2 of exact(): the spectral kernel over all blocks -> [ch, nB, B]."""
     mode = os.environ.get("SST_ENGINE", "wavefront")
     if mode == "wavefront":
         # batched precompute + diagonal sweep (wavefront.py); channels-major
@@ -207,13 +208,17 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
 
         _, out_specs = jax.lax.scan(step, carry0, xs)    # [nB, ch, B]
         out_specs = jnp.moveaxis(out_specs, 0, 1)        # [ch, nB, B]
+    return out_specs
 
-    # ---- synthesis + overlap-add ------------------------------------------
+
+def synthesis_stage(out_specs: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
+    """Stage 3 of exact(): inverse FFT + overlap-add + WOLA-normalized
+    assembly (outputSeek pre-roll cancellation and flush-tail subtraction)."""
+    cfg, sch = plan.cfg, plan.sched
     blocks_t = stft.synthesize(out_specs, plan.basis)    # [ch, nB, block]
     ring = _overlap_add(blocks_t, plan.arrays["out_pos"], sch.ring_len,
                         cfg.block_samples, cfg.interval_samples)
 
-    # ---- WOLA normalization + exact() assembly ----------------------------
     w = jnp.asarray(plan.weight)
     L = sch.preroll_len
     preroll = ring[:, :L] / w[:L]
@@ -228,6 +233,18 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     tail_b = ring[:, head + T:head + 2 * T] / w[head + T:head + 2 * T]
     tail = tail_a - tail_b[:, ::-1]
     return jnp.concatenate([main, flush_zero, tail], axis=1)
+
+
+def render_exact(audio: jnp.ndarray, plan: ExactPlan,
+                 controls: spectral.Controls, flags: spectral.SpectralFlags,
+                 seed: int = 0) -> jnp.ndarray:
+    """audio [ch, in_samples] float32 -> [ch, out_samples] float32."""
+    if not plan.sched.valid:
+        return jnp.zeros((audio.shape[0], plan.sched.out_samples), jnp.float32)
+    spectra, prev_spectra = analyze_stage(audio, plan)
+    out_specs = spectral_stage(spectra, prev_spectra, plan, controls, flags,
+                               seed)
+    return synthesis_stage(out_specs, plan)
 
 
 def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):

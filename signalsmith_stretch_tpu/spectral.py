@@ -96,8 +96,9 @@ class SpectralFlags:
     formant_auto: bool = True
     # Static bound on the inverse frequency-map gradient (d inputBin /
     # d outputBin, and the formant target-band slope), used to size the
-    # windowed-interp geometry (wavefront._window_geometry).  None => a
-    # conservative 4.0.  Builders with concrete controls set max(1, 1/mult).
+    # windowed-interp geometry (wavefront._window_geometry).  None =>
+    # unbounded (custom maps): the window path is disabled and the exact
+    # gather path is used.  Builders with concrete controls set max(1, 1/mult).
     inv_grad_bound: Optional[float] = None
 
     def __hash__(self):
@@ -116,11 +117,14 @@ def inv_grad_bound_for(freq_multiplier: float, formant_multiplier: float = 1.0,
     The output map's inputBin slope is bounded by the inverse frequency-map
     gradient (max(1, 1/mult) for the tonality-limit map, :850-856); the
     formant target-band slope by the inv-formant map (:920-925), composed with
-    mapFreq under pitch compensation.  Custom maps return None (conservative
-    default geometry).  Env override: SST_INTERP_GRAD."""
+    mapFreq under pitch compensation.  Custom maps return None (unbounded:
+    the windowed interp cannot size its (C, L) capacity, so consumers fall
+    back to the exact gather path).  Env override: SST_INTERP_GRAD — a value
+    > 0 forces that bound; <= 0 forces None (disable the window path)."""
     env = os.environ.get("SST_INTERP_GRAD")
-    if env:
-        return float(env)
+    if env is not None and env.strip():
+        bound = float(env)
+        return bound if bound > 0 else None
     if has_custom_map:
         return None
     g = max(1.0, 1.0 / float(freq_multiplier))

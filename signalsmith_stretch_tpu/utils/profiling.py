@@ -66,6 +66,70 @@ def write_svg_bars(path: str, values: Dict[str, float], unit: str = "ms",
         f.write("\n".join(parts))
 
 
+def stage_fns(model) -> Dict[str, Callable]:
+    """Jitted cumulative-prefix checksums of the exact() pipeline for a
+    StretchModel: analysis -> +plan -> +sweep -> analysis+synthesisFFT ->
+    full render.  Each fn maps (clips [batch, ch, in], seeds [batch]) to a
+    device scalar (so `float()` is an honest sync; cmd/main-dev.cpp:165-208
+    is the per-step stopwatch this replaces).  Cumulative prefixes rather
+    than isolated stages: XLA fuses across stage boundaries, so only
+    differences of end-to-end prefixes are honest."""
+    from .. import engine, stft, wavefront
+
+    plan, controls, flags = model.plan, model.controls, model.flags
+
+    def ana(a):
+        s, p = engine.analyze_stage(a, plan)
+        return jnp.sum(jnp.abs(s.real)) + jnp.sum(jnp.abs(s.imag)) \
+            + jnp.sum(jnp.abs(p.real)) + jnp.sum(jnp.abs(p.imag))
+
+    def plan_cum(a, seed):
+        s, p = engine.analyze_stage(a, plan)
+        inputs = wavefront.plan_spectral(s, p, plan.arrays, controls, flags,
+                                         plan.consts, seed)
+        tot = 0.0
+        for x in (inputs.a1, inputs.a2, inputs.d1, inputs.d2):
+            tot += jnp.sum(jnp.abs(x.real)) + jnp.sum(jnp.abs(x.imag))
+        for x in inputs.pe + inputs.pi:
+            tot += jnp.sum(jnp.abs(x))
+        return tot
+
+    def sweep_cum(a, seed):
+        s, p = engine.analyze_stage(a, plan)
+        out = engine.spectral_stage(s, p, plan, controls, flags, seed)
+        return jnp.sum(jnp.abs(out.real)) + jnp.sum(jnp.abs(out.imag))
+
+    def ana_synth(a, seed):
+        s, p = engine.analyze_stage(a, plan)
+        return jnp.sum(jnp.abs(stft.synthesize(s, plan.basis)))
+
+    return {
+        "analysis": jax.jit(lambda x, s: jnp.sum(jax.vmap(ana)(x))),
+        "plan(cum)": jax.jit(lambda x, s: jnp.sum(jax.vmap(plan_cum)(x, s))),
+        "sweep(cum)": jax.jit(lambda x, s: jnp.sum(jax.vmap(sweep_cum)(x, s))),
+        "ana+synthFFT": jax.jit(lambda x, s: jnp.sum(jax.vmap(ana_synth)(x, s))),
+        "full": jax.jit(lambda x, s: jnp.sum(jnp.abs(model.batched(x, s)))),
+    }
+
+
+def stage_breakdown(model, clips, seeds, reps: int = 3) -> Dict[str, float]:
+    """Per-stage seconds for one model at the given batch: analysis /
+    plan / sweep / synthesisFFT / OLA+assembly, derived from cumulative
+    prefix timings (see stage_fns)."""
+    fns = stage_fns(model)
+    cum = {name: timed(fn, clips, seeds, reps=reps)
+           for name, fn in fns.items()}
+    synth_fft = max(0.0, cum["ana+synthFFT"] - cum["analysis"])
+    return {
+        "analysis": cum["analysis"],
+        "plan": max(0.0, cum["plan(cum)"] - cum["analysis"]),
+        "sweep": max(0.0, cum["sweep(cum)"] - cum["plan(cum)"]),
+        "synthesisFFT": synth_fft,
+        "OLA+assembly": max(0.0, cum["full"] - cum["sweep(cum)"] - synth_fft),
+        "full": cum["full"],
+    }
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context (view with TensorBoard/XProf)."""

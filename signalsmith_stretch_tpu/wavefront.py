@@ -530,15 +530,20 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     tf = np.maximum(tf_np, f32(1.0 / MAX_CLEAN_STRETCH))    # static [nB]
     any_random = bool((tf > f32(MAX_CLEAN_STRETCH)).any())
 
+    # inv_grad_bound is None when the position slopes are unbounded on the
+    # host side (custom frequency maps, or SST_INTERP_GRAD<=0): the windowed
+    # interp's (C, L) capacity cannot be sized, and out-of-window taps would
+    # be silently zeroed — fall back to the exact gather path instead.
     interp = None
-    if flags.mapped and _interp_mode() == "window":
-        grad_bound = flags.inv_grad_bound or 4.0
+    if (flags.mapped and _interp_mode() == "window"
+            and flags.inv_grad_bound is not None):
         rand_extra = (float(longv) * 2.0
                       * max(0.0, float(tf.max()) - MAX_CLEAN_STRETCH)
                       if any_random else 0.0)
-        geom = _window_geometry(grad_bound, rand_extra)
+        geom = _window_geometry(flags.inv_grad_bound, rand_extra)
         if geom is not None:
             interp = _WindowInterp(*geom)
+    finterp_violations = jnp.int32(0)
 
     # Controls may carry per-block automation arrays ([nB] leaves) instead of
     # scalars — the TPU-native form of the worklet's schedule() automation.
@@ -655,18 +660,19 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         target_band = spectral._freq_to_band(output_f, consts)  # [B] or [nB, B]
         tb = jnp.minimum(target_band, f32(B))
         finterp = None
-        if _interp_mode() == "window":
-            geom_f = _window_geometry(flags.inv_grad_bound or 4.0, 0.0)
+        if _interp_mode() == "window" and flags.inv_grad_bound is not None:
+            geom_f = _window_geometry(flags.inv_grad_bound, 0.0)
             if geom_f is not None:
                 finterp = _WindowInterp(*geom_f)
         if finterp is not None:
-            # windowed selection over env_pad (width B+2, zeros at B, B+1)
-            # is bit-identical to the clipped take: any clipped index lands
-            # on env[0] (then forced to 0 by the target_band<0 mask) or on
-            # the zero pad (see _interp_mode).
+            # windowed selection over env_pad (width B+128, zeros at indices
+            # B..B+127) is bit-identical to the clipped take: any clipped
+            # index lands on env[0] (then forced to 0 by the target_band<0
+            # mask) or on the zero pad (see _interp_mode).
             tbb = jnp.broadcast_to(tb, (nB, B))
             (env_v,) = finterp([env_pad], tbb)
             target_e = jnp.where(target_band < 0, f32(0), env_v)
+            finterp_violations = finterp.violations
         else:
             floor_band = jnp.floor(tb).astype(jnp.int32)
             frac = tb - floor_band.astype(jnp.float32)
@@ -780,7 +786,7 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             us = [_shift_up(x, 1) for x in sd]
             ul = [_shift_up(x, longv) for x in ld]
         if debug:
-            dbg["interp_violations"] = interp.violations
+            dbg["interp_violations"] = interp.violations + finterp_violations
     else:
         sd = [None] * ch
         ld = [None] * ch

@@ -190,3 +190,51 @@ def test_planner_debug_reports_no_violations(monkeypatch):
         return dbg["interp_violations"]
 
     assert int(run(sre, sim)) == 0
+
+
+def test_steep_custom_map_disables_window_path(monkeypatch):
+    """A custom frequency map has no host-side gradient bound
+    (inv_grad_bound=None): the window path must be disabled — not sized to
+    an assumed 4.0 that silently zeroes out-of-window taps.  A steep
+    compressive map (inverse gradient 8) renders bit-identically under
+    SST_INTERP=window and =gather because both take the gather path."""
+    import signalsmith_stretch_tpu as sst
+
+    rng = np.random.default_rng(7)
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = (0.3 * np.sin(2 * np.pi * 300 * t)
+           + 0.05 * rng.standard_normal(rate)).astype(np.float32)[None]
+
+    def steep(freq):
+        return freq * 0.125   # d inputBin / d outputBin = 8 > window capacity
+
+    def render(mode):
+        monkeypatch.setenv("SST_INTERP", mode)
+        s = sst.SignalsmithStretch(seed=3)
+        s.preset_cheaper(1, rate)
+        s.set_freq_map(steep)
+        assert s._flags().inv_grad_bound is None
+        out, ok = s.exact(sig, sig.shape[1])
+        assert ok
+        return np.asarray(out)
+
+    g = render("gather")
+    w = render("window")
+    assert np.array_equal(g, w)
+    assert float(np.abs(g).max()) > 0
+
+
+def test_interp_grad_env_zero_disables(monkeypatch):
+    """SST_INTERP_GRAD<=0 means 'disable the window path' (None), not a
+    silent coercion back to the 4.0 default; >0 forces that bound even for
+    custom maps."""
+    monkeypatch.setenv("SST_INTERP_GRAD", "0")
+    assert spectral.inv_grad_bound_for(0.5) is None
+    monkeypatch.setenv("SST_INTERP_GRAD", "0.0")
+    assert spectral.inv_grad_bound_for(0.5) is None
+    monkeypatch.setenv("SST_INTERP_GRAD", "2.5")
+    assert spectral.inv_grad_bound_for(0.5, has_custom_map=True) == 2.5
+    monkeypatch.delenv("SST_INTERP_GRAD")
+    assert spectral.inv_grad_bound_for(0.5) == 2.0
+    assert spectral.inv_grad_bound_for(0.5, has_custom_map=True) is None
