@@ -90,7 +90,8 @@ int main(int argc, char **argv) {
 	stretch.outputSeek(in, seekLength);
 
 	int H = stretch.intervalSamples();
-	int outputIndex = int(outputLength) - int(seekLength/playbackRate);
+	// same float semantics as exact() (signalsmith-stretch.h:484): int - float
+	int outputIndex = int(outputLength) - seekLength/playbackRate;
 	int mainIn = int(inputLength) - seekLength;
 
 	int outDone = 0, inDone = 0;

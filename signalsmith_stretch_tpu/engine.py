@@ -38,6 +38,80 @@ class ExactPlan:
     re_rows: np.ndarray         # indices of blocks needing re-analysis
     re_frame_idx: np.ndarray    # [nRe, block] gather indices for those
     arrays: dict                # per-block flag/factor arrays
+    silence: "SilencePlan" = None
+
+
+@dataclasses.dataclass(frozen=True)
+class SilencePlan:
+    """Static data for the silence bypass (signalsmith-stretch.h:240-278).
+
+    In exact() the counter starts at 0 (reset, :56) so the pre-roll process
+    always runs normally; the *main* process bypasses iff its whole input
+    segment AND the pre-roll segment are sub-noisefloor and the pre-roll
+    already pushed the counter past 2*block (surplus >= 2*block, i.e. heavy
+    compression); the *flush* zero-input process bypasses iff the main
+    segment was silent and the counter crosses 2*block by then.  Bypassed
+    stages write passthrough/zeros directly, never touch the ring, and do
+    not advance the output read head — so the bypass tails re-read a
+    restricted-block ring at an un-advanced head.  All of that is static
+    geometry; only the two energy scalars are traced.
+    """
+    possible: bool                      # any bypass statically reachable
+    main_possible: bool                 # surplus >= 2*block
+    flush_possible_pre: bool            # surplus + main_in >= 2*block
+    flush_possible_alone: bool          # main_in >= 2*block
+    pass_idx: np.ndarray                # [main_out] int32 into audio, or None
+    # main-bypass tail: head stays at preroll_len; ring = preroll blocks only
+    pre_spans: tuple                    # ((k, a, b, off), ...) block slices
+    pre_weight: np.ndarray              # [2*T] float32 restricted WOLA weight
+    # flush-bypass tail: head at L+main_out; ring = preroll+main blocks
+    pm_spans: tuple
+    pm_weight: np.ndarray
+
+
+def _tail_window(basis: stft.StftBasis, out_pos: np.ndarray, ring_len: int,
+                 w0: int, width: int):
+    """Static contributions of the given blocks to ring[w0:w0+width]:
+    spans (block row k, ring start a, ring end b, block-local offset) and the
+    restricted floored WOLA weight over the window."""
+    block = basis.block_samples
+    spans = []
+    for k, p in enumerate(out_pos):
+        p = int(p)
+        a, b = max(w0, p), min(w0 + width, p + block)
+        if a < b:
+            spans.append((k, a, b, a - p))
+    weight = stft.wola_weight(basis, ring_len, out_pos)[w0:w0 + width]
+    return tuple(spans), weight
+
+
+def build_silence_plan(sch: sched_mod.ExactSchedule, basis: stft.StftBasis,
+                       arrays: dict) -> SilencePlan:
+    block = sch.cfg.block_samples
+    main_possible = sch.surplus >= 2 * block and sch.main_out > 0
+    flush_pre = sch.surplus + sch.main_in >= 2 * block
+    flush_alone = sch.main_in >= 2 * block
+    possible = (main_possible or
+                ((flush_pre or flush_alone) and sch.flush_block_out > 0))
+    if not possible:
+        return SilencePlan(False, False, False, False, None, (),
+                           np.zeros(0, np.float32), (), np.zeros(0, np.float32))
+    L, T = sch.preroll_len, sch.tail_len
+    # bypass passthrough: outputs[i] = inputs[seekLength + i % mainIn] (:253-256)
+    if sch.main_in > 0:
+        pass_idx = (sch.seek_length
+                    + np.arange(sch.main_out, dtype=np.int64) % sch.main_in
+                    ).astype(np.int32)
+    else:
+        pass_idx = None
+    out_pos = arrays["out_pos"]
+    n_pre, n_pm = sch.n_preroll_blocks, sch.n_preroll_blocks + sch.n_main_blocks
+    pre_spans, pre_weight = _tail_window(basis, out_pos[:n_pre], sch.ring_len,
+                                         L, 2 * T)
+    pm_spans, pm_weight = _tail_window(basis, out_pos[:n_pm], sch.ring_len,
+                                       L + sch.main_out, 2 * T)
+    return SilencePlan(True, main_possible, flush_pre, flush_alone, pass_idx,
+                       pre_spans, pre_weight, pm_spans, pm_weight)
 
 
 def build_exact_plan(cfg: StretchConfig, in_samples: int,
@@ -61,7 +135,8 @@ def build_exact_plan(cfg: StretchConfig, in_samples: int,
     # frames may reach before the timeline start (conceptual zero history)
     weight = stft.wola_weight(basis, sch.ring_len, arrays["out_pos"])
     return ExactPlan(cfg, sch, basis, consts, weight, frame_idx, re_rows,
-                     re_frame_idx, arrays)
+                     re_frame_idx, arrays,
+                     silence=build_silence_plan(sch, basis, arrays))
 
 
 def _build_timeline(audio: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
@@ -211,9 +286,30 @@ def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
     return out_specs
 
 
-def synthesis_stage(out_specs: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
+def _bypass_tail(blocks_t, spans, weight, w0: int, T: int, L: int, preroll):
+    """Flush tail (:444-454) read at an un-advanced head `w0` from a ring
+    containing only the given block spans (bypassed stages never ran their
+    synthesis steps).  The outputSeek pre-roll cancellation (:198-203) lives
+    at ring [L, 2L) and is included where the window overlaps it."""
+    ch = blocks_t.shape[0]
+    buf = jnp.zeros((ch, 2 * T), jnp.float32)
+    for k, a, b, off in spans:
+        buf = buf.at[:, a - w0:b - w0].add(blocks_t[:, k, off:off + (b - a)])
+    lo, hi = max(w0, L), min(w0 + 2 * T, 2 * L)
+    if lo < hi:   # −preroll[L-1-(j-L)] at ring position j
+        seg = preroll[:, 2 * L - hi:2 * L - lo][:, ::-1]
+        buf = buf.at[:, lo - w0:hi - w0].add(-seg)
+    t = buf / jnp.asarray(weight)
+    return t[:, :T] - t[:, T:][:, ::-1]
+
+
+def synthesis_stage(out_specs: jnp.ndarray, plan: ExactPlan,
+                    audio: jnp.ndarray = None) -> jnp.ndarray:
     """Stage 3 of exact(): inverse FFT + overlap-add + WOLA-normalized
-    assembly (outputSeek pre-roll cancellation and flush-tail subtraction)."""
+    assembly (outputSeek pre-roll cancellation and flush-tail subtraction).
+    With `audio` given, the silence bypass (:240-278) is applied: scalar
+    selects between the normal assembly and passthrough/zeros with
+    restricted-ring tails (see SilencePlan)."""
     cfg, sch = plan.cfg, plan.sched
     blocks_t = stft.synthesize(out_specs, plan.basis)    # [ch, nB, block]
     ring = _overlap_add(blocks_t, plan.arrays["out_pos"], sch.ring_len,
@@ -232,6 +328,46 @@ def synthesis_stage(out_specs: jnp.ndarray, plan: ExactPlan) -> jnp.ndarray:
     tail_a = ring[:, head:head + T] / w[head:head + T]
     tail_b = ring[:, head + T:head + 2 * T] / w[head + T:head + 2 * T]
     tail = tail_a - tail_b[:, ::-1]
+
+    sil = plan.silence
+    if (audio is not None and sil is not None and sil.possible
+            and os.environ.get("SST_SILENCE", "1") != "0"):
+        # total-energy scans (:231-238); f32 sums — the C++ accumulates in
+        # sequential order, so inputs within ~1 ulp of noiseFloor may branch
+        # differently (documented in docs/PARITY.md)
+        nf = jnp.float32(1e-15)   # :508
+        def seg_energy(start, length):
+            if length <= 0:
+                return jnp.float32(0)
+            seg = audio[:, start:start + length].astype(jnp.float32)
+            return jnp.sum(seg * seg)
+        pre_silent = seg_energy(sch.seek_samples, sch.surplus) < nf
+        main_silent = seg_energy(sch.seek_length, sch.main_in) < nf
+
+        main_b = (main_silent & pre_silent) if sil.main_possible \
+            else jnp.bool_(False)
+        # counter at flush time: surplus (if pre silent) + main_in
+        fp, fa = sil.flush_possible_pre, sil.flush_possible_alone
+        if fp == fa:
+            flush_b = main_silent & jnp.bool_(fp)
+        else:   # only reachable when the pre-roll was silent too (fp, not fa)
+            flush_b = main_silent & pre_silent & jnp.bool_(fp)
+
+        if sil.pass_idx is not None:
+            passthrough = jnp.take(audio, jnp.asarray(sil.pass_idx), axis=1)
+        else:
+            passthrough = jnp.zeros_like(main)
+        main = jnp.where(main_b, passthrough, main)
+        if sch.flush_block_out > 0:
+            flush_zero = jnp.where(flush_b, jnp.zeros_like(flush_zero),
+                                   flush_zero)
+            tail_pm = _bypass_tail(blocks_t, sil.pm_spans, sil.pm_weight,
+                                   L + sch.main_out, T, L, preroll)
+            tail = jnp.where(flush_b, tail_pm, tail)
+        if sil.main_possible and T > 0:
+            tail_pre = _bypass_tail(blocks_t, sil.pre_spans, sil.pre_weight,
+                                    L, T, L, preroll)
+            tail = jnp.where(main_b, tail_pre, tail)
     return jnp.concatenate([main, flush_zero, tail], axis=1)
 
 
@@ -244,7 +380,7 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     spectra, prev_spectra = analyze_stage(audio, plan)
     out_specs = spectral_stage(spectra, prev_spectra, plan, controls, flags,
                                seed)
-    return synthesis_stage(out_specs, plan)
+    return synthesis_stage(out_specs, plan, audio=audio)
 
 
 def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):

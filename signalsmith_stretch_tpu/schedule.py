@@ -71,6 +71,12 @@ class ExactSchedule:
     tail_len: int = 0                # reversed-subtraction tail samples
     playback_rate: f32 = f32(0)
     seek_length: int = 0
+    # silence-bypass bookkeeping (signalsmith-stretch.h:240-278)
+    surplus: int = 0                 # pre-roll process() input samples
+    seek_samples: int = 0            # input samples consumed by seek()
+    main_in: int = 0                 # main process() input samples
+    n_preroll_blocks: int = 0        # blocks fired by the pre-roll process()
+    n_main_blocks: int = 0           # blocks fired by the main process()
 
 
 class _SimState:
@@ -205,12 +211,14 @@ def build_exact_schedule(cfg: StretchConfig, in_samples: int,
     st.seek(seek_samples, 0, preroll_rate)
     preroll_len = cfg.output_latency
     st.process(surplus, preroll_len, src_base=seek_samples)
+    n_preroll_blocks = len(st.blocks)
     # negated+reversed preroll is added at ring [preroll_len, 2*preroll_len)
 
     # ---- main process ------------------------------------------------------
     # int outputIndex = outputSamples - seekLength/playbackRate (float, trunc)
     main_out = int(f32(f32(out_samples) - f32(f32(seek_length) / playback_rate)))
     st.process(in_samples - seek_length, main_out, src_base=seek_length)
+    n_main_blocks = len(st.blocks) - n_preroll_blocks
 
     # ---- flush (signalsmith-stretch.h:426-464) -----------------------------
     flush_out = out_samples - main_out
@@ -227,6 +235,11 @@ def build_exact_schedule(cfg: StretchConfig, in_samples: int,
     sched.main_out = main_out
     sched.flush_block_out = flush_block_out
     sched.tail_len = tail_len
+    sched.surplus = surplus
+    sched.seek_samples = seek_samples
+    sched.main_in = in_samples - seek_length
+    sched.n_preroll_blocks = n_preroll_blocks
+    sched.n_main_blocks = n_main_blocks
     sched.ring_len = (max(b.out_pos for b in st.blocks) + cfg.block_samples
                       + 2 * H + 8)
     return sched

@@ -5,48 +5,18 @@ energy envelopes are analysis-derived and stable — so a mixed corpus is gated
 on third-octave-band energies and broadband envelopes at tight (sub-dB)
 tolerances, complementing the sample-exact tests that must use chaos-relative
 gates.
+
+Clip seeds are pinned (utils/evaluation.KIND_SEEDS): Python's salted hash()
+previously picked different clips per process, which made "suite green"
+unfalsifiable run to run.
 """
 import numpy as np
 import pytest
 
 from conftest import rel_err_db, run_oracle
 from signalsmith_stretch_tpu.api import SignalsmithStretch
-
-
-def _clip(kind, rate, seconds, seed):
-    rng = np.random.default_rng(seed)
-    t = np.arange(int(rate * seconds)) / rate
-    if kind == "harmonic":
-        sig = sum((0.5 / (i + 1)) * np.sin(2 * np.pi * 130 * (i + 1) * t + i)
-                  for i in range(6))
-    elif kind == "sweep":
-        sig = 0.5 * np.sin(2 * np.pi * (100 * t + 400 * t * t))
-    elif kind == "noise":
-        sig = 0.3 * rng.standard_normal(t.shape)
-    else:  # transient train
-        sig = np.zeros_like(t)
-        sig[::1600] = 1.0
-        k = np.exp(-np.arange(200) / 30.0)
-        sig = np.convolve(sig, k)[:t.size] * 0.5
-    sig = sig + 0.01 * rng.standard_normal(t.shape)
-    return sig[None, :].astype(np.float32)
-
-
-def _band_energies(x, rate, n_fft=1024):
-    """[ch, n] -> log10 energy per third-octave-ish band, time-averaged."""
-    n = (x.shape[1] // n_fft) * n_fft
-    frames = x[0, :n].reshape(-1, n_fft) * np.hanning(n_fft)
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-    freqs = np.fft.rfftfreq(n_fft, 1.0 / rate)
-    edges = 50 * (2 ** (np.arange(0, 20) / 3.0))
-    edges = edges[edges < rate / 2]
-    e = []
-    for lo, hi in zip(edges[:-1], edges[1:]):
-        m = (freqs >= lo) & (freqs < hi)
-        if m.any():
-            e.append(spec[:, m].sum(axis=1).mean())
-    return np.log10(np.asarray(e) + 1e-12)
-
+from signalsmith_stretch_tpu.utils.evaluation import (
+    KINDS, band_energies, envelope_db, synth_clip)
 
 CASES = [
     dict(time_f=1.25, semitones=0.0, tonality=0.0),
@@ -54,16 +24,14 @@ CASES = [
     dict(time_f=1.0, semitones=3.0, tonality=2000.0),
     dict(time_f=1.2, semitones=-4.0, tonality=3000.0),
 ]
-KINDS = ["harmonic", "sweep", "noise", "transients"]
 
 
 @pytest.mark.parametrize("case", CASES, ids=lambda c: (
     f"t{c['time_f']}_st{c['semitones']}"))
 def test_corpus_band_energy_regression(oracle_bin, tmp_path, case):
     rate = 8000
-    max_band_err = 0.0
     for kind in KINDS:
-        sig = _clip(kind, rate, 2.0, seed=hash(kind) % 1000)
+        sig = synth_clip(kind, rate, 2.0)
         out_len = int(round(sig.shape[1] * case["time_f"]))
         # split=False: the engine is configured without splitComputation
         # below, and the oracle's step-split scheduler produces slightly
@@ -73,32 +41,49 @@ def test_corpus_band_energy_regression(oracle_bin, tmp_path, case):
                          time_f=case["time_f"], semitones=case["semitones"],
                          tonality=case["tonality"], cheaper=True, split=False)
         s = SignalsmithStretch()
-        s.preset_cheaper(1, rate)
+        # split_computation must match the oracle's mode: split shifts block
+        # output placement by one interval, which moves transient energy
+        # ~40 ms (up to ~1 dB in 50 ms envelope windows) and reshuffles the
+        # step-split scheduler's inter-harmonic leakage.  preset_cheaper
+        # defaults split=True (like the C++ preset) — comparing that against
+        # a non-split oracle render was this test's long-standing phantom
+        # "mapped-path defect" (the engines agree to ~0.001 dB envelope when
+        # modes match).
+        s.preset_cheaper(1, rate, split_computation=False)
         s.set_transpose_semitones(case["semitones"],
                                   case["tonality"] / rate)
         out, ok = s.exact(sig, out_len)
         out = np.asarray(out)
         assert ok and out.shape == ref.shape
 
-        # band-energy distance (log10): < 0.05 ~ 0.5 dB per band for
-        # unmapped renders; mapped renders reshuffle inter-harmonic leakage
-        # through the chaotic phase recursion (~1 dB in bands far below
-        # peak), so their gate is 1.5 dB -- still far below any real
-        # frequency-map defect, which shifts whole harmonics by tens of dB
-        be_mine = _band_energies(out, rate)
-        be_ref = _band_energies(ref, rate)
+        # band-energy distance (log10).  With matched split modes the
+        # engines agree to <= 0.002 log10 across all kinds/cases (measured);
+        # mapped gates get a chaos-relative term because the phase recursion
+        # reshuffles inter-harmonic leakage (the oracle's own 1-ulp input
+        # sensitivity bounds what is chaos-legal).  A real frequency-map
+        # defect shifts whole harmonics by tens of dB and clears any gate
+        # here by orders of magnitude.
+        be_mine = band_energies(out, rate)
+        be_ref = band_energies(ref, rate)
         err = np.abs(be_mine - be_ref).max()
-        max_band_err = max(max_band_err, err)
-        tol = 0.05 if case["semitones"] == 0.0 else 0.15
-        assert err < tol, (kind, case, err)
+        if case["semitones"] == 0.0:
+            tol = 0.05
+        else:
+            pert = np.nextafter(sig, np.float32(np.inf)).astype(np.float32)
+            ref_p = run_oracle(oracle_bin, str(tmp_path), pert, rate,
+                               time_f=case["time_f"],
+                               semitones=case["semitones"],
+                               tonality=case["tonality"], cheaper=True,
+                               split=False)
+            chaos = np.abs(band_energies(ref_p, rate) - be_ref).max()
+            tol = max(0.03, 3.0 * chaos + 0.01)
+        assert err < tol, (kind, case, err, tol)
 
-        # broadband envelope: 50 ms RMS windows within 0.5 dB RMS
-        w = int(0.05 * rate)
-        n = (out.shape[1] // w) * w
-        env_m = np.sqrt((out[0, :n].reshape(-1, w) ** 2).mean(1) + 1e-12)
-        env_r = np.sqrt((ref[0, :n].reshape(-1, w) ** 2).mean(1) + 1e-12)
-        env_db = 20 * np.abs(np.log10(env_m / env_r)).mean()
-        assert env_db < 0.5, (kind, case, env_db)
+        # broadband envelope: 50 ms RMS windows.  Measured parity is
+        # <= 0.018 dB with matched modes; 0.1 dB catches any placement or
+        # coherence regression (a one-interval misplacement reads ~1 dB).
+        env_db = envelope_db(out, ref, rate)
+        assert env_db < 0.1, (kind, case, env_db)
 
         # Unmapped renders must additionally be sample-close -- EXCLUDING
         # the flush tail: flush processes zero-input blocks, which drives
@@ -113,9 +98,14 @@ def test_corpus_band_energy_regression(oracle_bin, tmp_path, case):
             # the randomized flush blocks' synthesis windows overlap-add a
             # block back into the output, and the phase recursion carries
             # their influence further: cut well clear of the flush.  The
-            # gate is chaos-relative like test_parity_exact: signals that
-            # sweep across bins (the chirp) amplify ulp-level differences
-            # through the phase recursion.
+            # gate is chaos-relative like test_parity_exact: the phase
+            # recursion amplifies ulp-level differences exponentially along
+            # the render (measured: the harmonic clip's 1-ulp chaos grows
+            # -113 -> -62 dB over 15k samples).  Our per-op f32 reordering
+            # acts as a few-ulp perturbation at every block; with matched
+            # split modes ours-vs-oracle tracks the 1-ulp chaos curve
+            # within a few dB, so 12 dB headroom is ample.  A real defect
+            # clears this by tens of dB.
             cut = out.shape[1] - 4 * (800 + 320)   # preset_cheaper @8k
             pert = np.nextafter(sig, np.float32(np.inf)).astype(np.float32)
             ref2 = run_oracle(oracle_bin, str(tmp_path), pert, rate,

@@ -21,6 +21,7 @@ from signalsmith_stretch_tpu import engine, stft, wavefront
 from signalsmith_stretch_tpu.api import SignalsmithStretch
 
 PROBE = os.path.join(REPO, "oracle", "probe")
+PROBE2 = os.path.join(REPO, "oracle", "probe2")
 
 # probe.cpp dump tags
 T_ENERGY, T_SMOOTHED, T_INPUT_BIN, T_FREQ_GRAD = 1, 2, 3, 4
@@ -210,6 +211,45 @@ def test_probe_mapped_chain_default_preset(probe_bin, test_signal, tmp_path):
         assert np.mean(ib_err < 1e-3) > 0.999, (i, ib_err.max())
         pe = dbg["pe"][k].reshape(-1)
         assert rel_err_db(pe, ref[T_PRED_ENERGY][:pe.size]) < -70, i
+
+
+@pytest.fixture(scope="session")
+def probe2_bin():
+    if not os.path.exists(PROBE2):
+        subprocess.run(["make", "probe2"], cwd=os.path.join(REPO, "oracle"),
+                       check=True)
+    return PROBE2
+
+
+def test_probe2_exact_grid_mapped_stretch(probe2_bin, tmp_path):
+    """Per-block parity on the TRUE exact() block grid for a combined
+    time-stretch + pitch-shift render (probe2.cpp: the profiling-macro hook
+    dumps from a SINGLE process() call, so the grid carries the pre-roll's
+    samplesSinceLast offset — outputLatency % interval != 0 shifts every
+    main block, which probe.cpp's interval-chunked calls cannot reproduce).
+
+    This is the regime (reanalyse every block + frequency map active) where
+    a split-mode comparison mismatch masqueraded as a mapped-path defect for
+    two rounds; the analysis chain must be bit-tight on every block."""
+    from signalsmith_stretch_tpu.utils.evaluation import synth_clip
+    rate = 8000
+    sig = synth_clip("transients", rate, 2.0)
+    dumps = run_probe(probe2_bin, str(tmp_path), sig, rate, time_f=1.2,
+                      semitones=-4.0, tonality=3000.0)
+    dbg, n_pre, n_main = plan_debug(sig, rate, semitones=-4.0,
+                                    tonality_hz=3000.0, time_f=1.2)
+    n = min(n_main, len(dumps))
+    assert n >= 50
+    B = dbg["energy"].shape[1]
+    for i in range(n):
+        k = n_pre + i
+        ref = dumps[i]
+        assert rel_err_db(dbg["energy"][k], ref[T_ENERGY][:B]) < -100, i
+        assert rel_err_db(dbg["smoothed"][k], ref[T_SMOOTHED][:B]) < -100, i
+        ib_err = np.abs(dbg["input_bin"][k] - ref[T_INPUT_BIN][:B])
+        assert np.mean(ib_err < 1e-3) > 0.9999, (i, ib_err.max())
+        pe = dbg["pe"][k].reshape(-1)
+        assert rel_err_db(pe, ref[T_PRED_ENERGY][:pe.size]) < -90, i
 
 
 def test_probe_formant_freq_estimate(probe_bin, test_signal, tmp_path):

@@ -42,9 +42,9 @@ TIME_CASES = [0.8, 1.2, 1.5, 2.0, 4.0]
 # randomized renders reshuffle inter-harmonic leakage through the chaotic
 # phase recursion and the RNG-divergent flush tail
 BAND_GATE_UNMAPPED = 0.05   # log10 (~0.5 dB/band)
-BAND_GATE_MAPPED = 0.15
+BAND_GATE_MAPPED = 0.05     # matched split modes agree to <=0.002 measured
 BAND_GATE_RANDOM = 0.30     # >2x stretch: phases are drawn from different RNGs
-ENV_GATE_DB = 0.5
+ENV_GATE_DB = 0.1           # measured parity <=0.018 dB with matched modes
 ENV_GATE_RANDOM_DB = 1.0
 
 
@@ -120,7 +120,9 @@ def main():
             ref = run_oracle(args.oracle, tmp, sig, rate, time_f=tf,
                              semitones=st, cheaper=True, split=False)
             s = SignalsmithStretch()
-            s.preset_cheaper(1, rate)
+            # must match the oracle's (non-split) mode: split shifts block
+            # output placement by one interval (see tests/test_corpus_stats)
+            s.preset_cheaper(1, rate, split_computation=False)
             if mapped:
                 s.set_transpose_semitones(st)
             out, ok = s.exact(sig, out_len)
@@ -143,6 +145,9 @@ def main():
                         sig, np.float32(np.inf)).astype(np.float32)
                     ref2 = run_oracle(args.oracle, tmp, pert, rate, time_f=tf,
                                       semitones=st, cheaper=True, split=False)
+                    # 12 dB headroom over the 1-ulp chaos probe: with
+                    # matched split modes ours-vs-oracle tracks the chaos
+                    # curve within a few dB (see tests/test_corpus_stats.py)
                     gate = max(-60.0,
                                rel_err_db(ref2[:, :cut], ref[:, :cut]) + 12.0)
                     db = rel_err_db(out[:, :cut], ref[:, :cut])
