@@ -9,6 +9,10 @@ engine is specialized per (in_len, out_len, flags), so the pipeline:
      host->device transfer of batch k+1 overlaps the compute of batch k
      (the reference's closest analogue is the double-buffered stash/swap of
      ring states, signalsmith-stretch.h:293-297; here it is host I/O).
+
+Multi-host: pass the full (deterministically ordered) item list through
+`parallel.distributed.shard_items` before `batches()` so each host loads and
+pads only its own corpus slice — clip audio never crosses DCN.
 """
 from __future__ import annotations
 
