@@ -91,21 +91,19 @@ def main():
         clips = make_corpus(cfg_batch or batch, channels, in_len, rate)
         results.append(run_config(name, model, clips, rate, reps))
 
-    # BASELINE.json configs.  Frequency-mapped configs run at batch 8: the
-    # windowed-interp's block tap-gathers force an n-minor relayout of the
-    # padded planes whose lane padding scales with batch (~18 GB at batch
-    # 24 -- uncompilable); batch 8 keeps it ~6 GB and per-clip throughput
-    # is flat in batch on this path.
+    # BASELINE.json configs (mapped configs run at the full bench batch since
+    # the windowed-interp layout fix: every matmul operand keeps a 128-
+    # multiple minor dim, so memory scales ~linearly with batch).
     cfg_case("stereo48k_default_1.25x", 48000, 2, 1.25)
     if not quick:
         cfg_case("mono44k_cheaper_1.25x", 44100, 1, 1.25, cheaper=True)
         cfg_case("stereo48k_pitch+12_tonality8k", 48000, 2, 1.0,
-                 semitones=12, tonality_hz=8000, cfg_batch=8)
+                 semitones=12, tonality_hz=8000)
         cfg_case("formant_vocal_shift", 48000, 2, 1.0, semitones=5,
                  tonality_hz=8000, formant_semitones=3,
-                 formant_compensation=True, formant_base_hz=220, cfg_batch=8)
+                 formant_compensation=True, formant_base_hz=220)
         cfg_case("stretch0.8x_custom_sweep", 48000, 2, 0.8, semitones=-3,
-                 tonality_hz=6000, cfg_batch=8)
+                 tonality_hz=6000)
         cfg_case("split_streaming_parity", 48000, 2, 1.25, split=True)
 
     primary = results[0]

@@ -140,6 +140,108 @@ def _window_geometry(grad_bound: float, rand_extra: float):
     return None
 
 
+def interp_planes_window_multi(planes: jnp.ndarray, pos_sets,
+                               C: int, L: int, slab: int = 8):
+    """Exact fractional interpolation of plane prefixes at SEVERAL position
+    sets over ONE shared window extraction.
+
+    planes [nB, n, W0] float32; pos_sets: list of (pos [nB, B], nsel, taps)
+    where set k interpolates the first `nsel` planes at its positions.  The
+    window anchor is shared (min floor-index over all sets per C-chunk), so
+    sets whose positions stay within the chunk's L-capacity of each other
+    (e.g. the planner's input_bin / input_bin - tf / input_bin - longv*tf
+    trio) pay the plane padding and window slicing ONCE.
+
+    Per set: taps False -> [nB, nsel, B] lerp; True -> (lo, hi) tap pair.
+    Returns (list of per-set results, violations).  Values are zero outside
+    [0, W0) (matching _interp_gather; the L-wide zero pads make the
+    out-of-range taps land on zeros, no masks needed).  The hi tap is the
+    SAME one-hot row applied to a one-lane-shifted window (zero-filled at
+    lane L-1), which is bit-identical to a dedicated hi one-hot: in-capacity
+    rows have rel <= L-2, and an over-capacity row (counted in `violations`)
+    selects lane L-1 whose shifted value is the same 0 the hi mask produced.
+    Halves the selection-matrix bytes per set vs a [2C, L] lo+hi matrix.
+    """
+    nB, n, W0 = planes.shape
+    B = pos_sets[0][0].shape[1]
+    nchunk = -(-B // C)
+    Bp = nchunk * C
+    nslab = -(-nB // slab)
+    nBp = nslab * slab
+    f1 = jnp.float32
+
+    li_sets, frac_sets = [], []
+    for pos, nsel, taps in pos_sets:
+        ppos = jnp.pad(pos, ((0, nBp - nB), (0, Bp - B)), mode="edge")
+        low = jnp.floor(ppos)
+        li_sets.append(low.astype(jnp.int32).reshape(nslab, slab, nchunk, C))
+        frac_sets.append((ppos - low).astype(jnp.float32)
+                         .reshape(nslab, slab, nchunk, C))
+    pl = jnp.pad(planes, ((0, nBp - nB), (0, 0), (0, 0)))
+    pz = jnp.pad(pl.reshape(nslab, slab, n, W0),
+                 ((0, 0), (0, 0), (0, 0), (L, L)))
+
+    def do_slab(args):
+        lics, frcs, pzs = args
+        # lics/frcs: tuples per set [slab, nchunk, C]; pzs [slab, n, W0 + 2L]
+        smin = functools.reduce(jnp.minimum,
+                                [jnp.min(lic, axis=-1) for lic in lics])
+        s = jnp.clip(smin - 1, -L, W0)                      # [slab, nchunk]
+
+        def sl(row, s0):
+            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
+
+        win = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
+                       in_axes=(0, 0))(pzs, s)              # [slab,nchunk,n,L]
+        # hi taps read the same window shifted one lane (zero at lane L-1)
+        win_h = jnp.concatenate(
+            [win[..., 1:], jnp.zeros(win.shape[:-1] + (1,), win.dtype)], -1)
+        wio = jnp.arange(L, dtype=jnp.int32)
+        outs, bad = [], jnp.int32(0)
+        for (lic, frc, (pos, nsel, taps)) in zip(lics, frcs, pos_sets):
+            rel = lic - s[..., None]                        # [slab, nchunk, C]
+            vlo = (lic >= 0) & (lic < W0)
+            bad = bad + (vlo & ((rel < 0) | (rel > L - 2))).sum()
+            # one-hot LO rows only; keep every minor dim at L / C (128-
+            # aligned) -- an [..., n] minor axis lane-pads to 128 and
+            # relayouts ~13x the useful bytes (the old batch-24 OOM)
+            M = jnp.where(rel[..., None] == wio, f1(1), f1(0))
+            w2 = jnp.concatenate([win[..., :nsel, :], win_h[..., :nsel, :]],
+                                 axis=-2)                   # [slab,nc,2nsel,L]
+            out = jnp.einsum("scnw,scxw->scnx", w2, M,
+                             precision=jax.lax.Precision.HIGHEST)
+            lo = jnp.transpose(out[..., :nsel, :], (0, 2, 1, 3)) \
+                .reshape(slab, nsel, Bp)
+            hi = jnp.transpose(out[..., nsel:, :], (0, 2, 1, 3)) \
+                .reshape(slab, nsel, Bp)
+            if taps:
+                outs.append(lo)
+                outs.append(hi)
+            else:
+                f2 = jnp.transpose(
+                    jnp.broadcast_to(frc[..., None, :],
+                                     frc.shape[:2] + (nsel, C)),
+                    (0, 2, 1, 3)).reshape(slab, nsel, Bp)
+                outs.append(lo + (hi - lo) * f2)
+        return tuple(outs), bad
+
+    outs, bads = jax.lax.map(do_slab, (tuple(li_sets), tuple(frac_sets), pz))
+
+    def trim(o):
+        nsel = o.shape[2]
+        return o.reshape(nBp, nsel, Bp)[:nB, :, :B]
+
+    results, i = [], 0
+    for pos, nsel, taps in pos_sets:
+        if taps:
+            results.append((trim(outs[i]), trim(outs[i + 1])))
+            i += 2
+        else:
+            results.append(trim(outs[i]))
+            i += 1
+    return results, jnp.sum(bads)
+
+
 def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
                          C: int, L: int, slab: int = 8,
                          taps: bool = False):
@@ -156,63 +258,10 @@ def interp_planes_window(planes: jnp.ndarray, pos: jnp.ndarray,
     (zero outside [0, W0)) -- the exact tap pair, for callers with different
     boundary/combination semantics (e.g. the peak-table lookups).
     """
-    nB, n, W0 = planes.shape
-    B = pos.shape[1]
-    nchunk = -(-B // C)
-    Bp = nchunk * C
-    nslab = -(-nB // slab)
-    nBp = nslab * slab
-    f1 = jnp.float32
-
-    pp = jnp.pad(pos, ((0, nBp - nB), (0, Bp - B)), mode="edge")
-    pl = jnp.pad(planes, ((0, nBp - nB), (0, 0), (0, 0)))
-    low = jnp.floor(pp)
-    li = low.astype(jnp.int32)
-    frac = (pp - low).astype(jnp.float32)
-    li_c = li.reshape(nslab, slab, nchunk, C)
-    frac_c = frac.reshape(nslab, slab, nchunk, C)
-    pz = jnp.pad(pl.reshape(nslab, slab, n, W0),
-                 ((0, 0), (0, 0), (0, 0), (L, L)))
-
-    def do_slab(args):
-        lic, frc, pzs = args
-        # lic [slab, nchunk, C]; pzs [slab, n, W0 + 2L]
-        s = jnp.clip(jnp.min(lic, axis=-1) - 1, -L, W0)     # [slab, nchunk]
-
-        def sl(row, s0):
-            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
-
-        win = jax.vmap(jax.vmap(sl, in_axes=(None, 0)),
-                       in_axes=(0, 0))(pzs, s)              # [slab,nchunk,n,L]
-        rel = lic - s[..., None]                            # [slab, nchunk, C]
-        wio = jnp.arange(L, dtype=jnp.int32)
-        vlo = (lic >= 0) & (lic < W0)
-        vhi = (lic + 1 >= 0) & (lic + 1 < W0)
-        Mlo = jnp.where((rel[..., None] == wio) & vlo[..., None], f1(1), f1(0))
-        Mhi = jnp.where(((rel + 1)[..., None] == wio) & vhi[..., None],
-                        f1(1), f1(0))
-        M = jnp.concatenate([Mlo, Mhi], axis=-2)            # [slab,nchunk,2C,L]
-        out = jnp.einsum("scxw,scwn->scxn", M, jnp.moveaxis(win, -2, -1),
-                         precision=jax.lax.Precision.HIGHEST)
-        lo = out[..., :C, :]
-        hi = out[..., C:, :]
-        bad = (vlo & ((rel < 0) | (rel > L - 2))).sum()
-
-        def fold(res):                                      # [slab,nchunk,C,n]
-            return jnp.moveaxis(res, -1, 1).reshape(slab, n, Bp)
-
-        if taps:
-            return (fold(lo), fold(hi)), bad
-        return fold(lo + (hi - lo) * frc[..., None]), bad
-
-    outs, bads = jax.lax.map(do_slab, (li_c, frac_c, pz))
-
-    def trim(o):
-        return o.reshape(nBp, n, Bp)[:nB, :, :B]
-
-    if taps:
-        return (trim(outs[0]), trim(outs[1])), jnp.sum(bads)
-    return trim(outs), jnp.sum(bads)
+    n = planes.shape[1]
+    results, bad = interp_planes_window_multi(
+        planes, [(pos, n, taps)], C, L, slab)
+    return results[0], bad
 
 
 class _WindowInterp:
@@ -222,6 +271,46 @@ class _WindowInterp:
     def __init__(self, C: int, L: int):
         self.C, self.L = C, L
         self.violations = jnp.int32(0)
+
+    def multi(self, rows_list, specs):
+        """One shared-window call over several position sets.
+
+        rows_list: list of [nB, W0] arrays (f32 or c64, same W0); specs:
+        list of (pos [nB, B], n_rows) where each set interpolates the FIRST
+        n_rows entries of rows_list at its positions.  Returns a list (per
+        set) of lists of interpolated [nB, B] arrays.  All sets' positions
+        must stay within the (C, L) capacity of the shared chunk anchors —
+        the planner's prelim/vote position trio does by construction
+        (offsets bounded by longv * timeFactor, included in the geometry
+        margin).  Shares the plane padding and window extraction across
+        sets: at bench shapes those are ~70% of a windowed interp call.
+        """
+        planes, kinds, offsets = [], [], []
+        for r in rows_list:
+            offsets.append(len(planes))
+            if jnp.iscomplexobj(r):
+                planes += [r.real, r.imag]
+                kinds.append("c")
+            else:
+                planes.append(r)
+                kinds.append("f")
+        offsets.append(len(planes))
+        pos_sets = [(pos, offsets[n_rows], False) for pos, n_rows in specs]
+        results, bad = interp_planes_window_multi(
+            jnp.stack(planes, axis=1), pos_sets, self.C, self.L)
+        self.violations = self.violations + bad
+        outs = []
+        for (pos, n_rows), vals in zip(specs, results):
+            out, i = [], 0
+            for k in kinds[:n_rows]:
+                if k == "c":
+                    out.append(jax.lax.complex(vals[:, i], vals[:, i + 1]))
+                    i += 2
+                else:
+                    out.append(vals[:, i])
+                    i += 1
+            outs.append(out)
+        return outs
 
     def __call__(self, rows_list, pos):
         """rows_list: list of [nB, W0] arrays (f32 or c64, same W0);
@@ -361,34 +450,35 @@ def _segment_sum_runs(data_planes, seg, above, nseg, C=512, slab=8):
     anchors = seg_c[:, :, 0]                                # [nBp, nchunk]
     rel = seg_c - anchors[:, :, None]
     mask_c = maskp.reshape(nBp, nchunk, C)
-    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 3, 1))
+    # keep n OUT of the minor dim everywhere: a [..., n] minor axis lane-pads
+    # to 128 and relayouts ~64x the useful bytes for n=2
+    data_c = jnp.transpose(datap.reshape(nBp, n, nchunk, C), (0, 2, 1, 3))
 
     def do_slab(args):
         relc, mc, dc, anc = args
-        # relc [slab, nchunk, C]; dc [slab, nchunk, C, n]; anc [slab, nchunk]
+        # relc [slab, nchunk, C]; dc [slab, nchunk, n, C]; anc [slab, nchunk]
         lio = jnp.arange(Lp, dtype=jnp.int32)
         M = jnp.where((relc[..., None] == lio) & mc[..., None], f1(1), f1(0))
-        partial = jnp.einsum("scxl,scxn->scln", M, dc,
+        partial = jnp.einsum("scnx,scxl->scnl", dc, M,
                              precision=jax.lax.Precision.HIGHEST)
-        # shift partials to absolute segment positions and accumulate;
-        # anchors range [-1, nseg) (run_id is -1 before the first run), so
-        # pad generously enough that no dynamic_slice start ever clamps
-        pp = jnp.pad(partial, ((0, 0), (0, 0),
-                               (nseg + 8, max(0, nseg + 8 - Lp)), (0, 0)))
+        # shift partials to absolute segment positions and accumulate along
+        # the minor (lane) axis; anchors range [-1, nseg) (run_id is -1
+        # before the first run), so pad enough that no start ever clamps
+        pp = jnp.pad(partial, ((0, 0), (0, 0), (0, 0),
+                               (nseg + 8, max(0, nseg + 8 - Lp))))
 
-        def sl(row, a):    # row [2*nseg + 16, n]
-            return jax.lax.dynamic_slice(row, (nseg + 8 - a, 0), (nseg, n))
+        def sl(row, a):    # row [n, 2*nseg + 16]
+            return jax.lax.dynamic_slice(row, (0, nseg + 8 - a), (n, nseg))
 
         shifted = jax.vmap(jax.vmap(sl, in_axes=(0, 0)),
                            in_axes=(0, 0))(pp, anc)
-        return jnp.sum(shifted, axis=1)                      # [slab, nseg, n]
+        return jnp.sum(shifted, axis=1)                      # [slab, n, nseg]
 
     outs = jax.lax.map(do_slab, (rel.reshape(nslab, slab, nchunk, C),
                                  mask_c.reshape(nslab, slab, nchunk, C),
-                                 data_c.reshape(nslab, slab, nchunk, C, n),
+                                 data_c.reshape(nslab, slab, nchunk, n, C),
                                  anchors.reshape(nslab, slab, nchunk)))
-    out = outs.reshape(nBp, nseg, n)[:nB]
-    return jnp.moveaxis(out, 1, 2)                           # [nB, n, nseg]
+    return outs.reshape(nBp, n, nseg)[:nB]                   # [nB, n, nseg]
 
 
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
@@ -436,8 +526,11 @@ def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     cells = jnp.where(valid,
                       jnp.clip(jnp.ceil(peak_out), 0, B).astype(jnp.int32),
                       jnp.int32(B))
-    hist = jax.vmap(lambda c: jnp.zeros(B + 128, jnp.int32).at[c].add(1))(cells)
-    k = jnp.cumsum(hist[:, :B], axis=1)                            # [nB, B]
+    # k[b] = #peaks with cell <= b (:888-891).  A fused compare-reduce beats
+    # the scatter histogram + cumsum ~2x on TPU (scatters walk the scalar
+    # core); invalid entries sit at cell == B > any b, so they never count.
+    k = jnp.sum((cells[:, None, :] <= jnp.arange(B, dtype=jnp.int32)
+                 [None, :, None]).astype(jnp.int32), axis=2)       # [nB, B]
 
     last = jnp.maximum(n_peaks - 1, 0)
     first_in, first_out = peak_in[:, 0], peak_out[:, 0]
@@ -456,8 +549,12 @@ def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     # b >= ceil(last_out) >= trunc(last_out)).
     peak_out_tbl = jnp.where(valid, peak_out_raw, f32(0))
     tables = jnp.stack([peak_out_tbl, peak_in], axis=1)            # [nB,2,nseg]
+    # geometry is map-independent here: within a 128-bin chunk k rises by
+    # at most ceil(128/2)+1 = 65 (run starts are >= 2 bins apart), so
+    # (C=128, L=128) always has capacity -- half the window slices of the
+    # caller's map-bounded geometry at the same selection-matrix bytes
     (lo, hi), bad = interp_planes_window(
-        tables, k.astype(jnp.float32) - f1(0.5), *geom, taps=True)
+        tables, k.astype(jnp.float32) - f1(0.5), 128, 128, taps=True)
     prev_o, prev_in_ = lo[:, 0], lo[:, 1]
     next_o, next_in_ = hi[:, 0], hi[:, 1]
 
@@ -540,6 +637,13 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         rand_extra = (float(longv) * 2.0
                       * max(0.0, float(tf.max()) - MAX_CLEAN_STRETCH)
                       if any_random else 0.0)
+        # the vote positions share the prelim call's chunk windows (multi-set
+        # call below): they sit up to longv*tf below input_bin, and the
+        # random-regime up-shifted sets read input_bin[b+longv] (~1.5*g*longv
+        # above the chunk's own spread)
+        rand_extra += float(longv) * float(tf.max()) + 1.0
+        if any_random:
+            rand_extra += 1.5 * float(flags.inv_grad_bound) * float(longv)
         geom = _window_geometry(flags.inv_grad_bound, rand_extra)
         if geom is not None:
             interp = _WindowInterp(*geom)
@@ -690,16 +794,56 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         ratio = target_e / (env + f32(1e-30))               # [nB, B]
         in_energy = in_energy * ratio[:, None, :]
 
+    # ---- random binTimeFactors (:747-757), needed for vote positions -----
+    tf_j = jnp.asarray(tf)
+    if any_random:
+        random_tf = jnp.asarray(tf > f32(MAX_CLEAN_STRETCH))
+        lo_d = f32(MAX_CLEAN_STRETCH) * 2 * random_tf.astype(jnp.float32) - tf_j
+        key = jax.random.PRNGKey(seed)
+        draws = jax.random.uniform(key, (2, nB, B), jnp.float32,
+                                   minval=lo_d[None, :, None],
+                                   maxval=tf_j[None, :, None])
+        btf1 = jnp.where(random_tf[:, None], draws[0], tf_j[:, None])
+        btf2 = jnp.where(random_tf[:, None], draws[1], tf_j[:, None])
+    else:
+        btf1 = btf2 = None   # uniform per-block shift == tf
+
     # ---- preliminary-prediction constants (:697-719) ----------------------
+    vote_vals = None
     if flags.mapped:
         pos_grad = jnp.maximum(f32(0), freq_grad)
         if interp is not None:
-            vals = interp([in_energy[:, c] for c in range(ch)]
-                          + [input_eff[:, c] for c in range(ch)]
-                          + [prev_eff[:, c] for c in range(ch)], input_bin)
-            pe = [vals[c] * pos_grad for c in range(ch)]
-            pi = [vals[ch + c] for c in range(ch)]
-            prev_i = [vals[2 * ch + c] for c in range(ch)]
+            # ONE shared-window multi-set call covers the prelim lookups AND
+            # the vote positions (all within longv*tf of input_bin, which the
+            # geometry margin includes): the plane padding and window
+            # extraction — ~70% of a call at bench shapes — are paid once.
+            rows = ([input_eff[:, c] for c in range(ch)]
+                    + [prev_eff[:, c] for c in range(ch)]
+                    + [in_energy[:, c] for c in range(ch)])
+            base = input_bin
+            if any_random:
+                # _shift_up zero-fills the last k positions; those votes are
+                # masked out of a1/a2 below, but a zero position would drag
+                # the tail chunk's window anchor away from its real
+                # positions -- use the (equally masked) unshifted value as an
+                # in-range sentinel.
+                bi = jnp.arange(B)[None, :]
+                base_up1 = jnp.where(bi < B - 1, _shift_up(base, 1), base)
+                base_upl = jnp.where(bi < B - longv, _shift_up(base, longv),
+                                     base)
+                specs = [(base, 3 * ch), (base - btf1, ch),
+                         (base - f32(longv) * btf1, ch),
+                         (base_up1 - btf2, ch),
+                         (base_upl - f32(longv) * btf2, ch)]
+            else:
+                specs = [(base, 3 * ch), (base - tf_j[:, None], ch),
+                         (base - f32(longv) * tf_j[:, None], ch)]
+            outs = interp.multi(rows, specs)
+            vals = outs[0]
+            vote_vals = outs[1:]
+            pi = [vals[c] for c in range(ch)]
+            prev_i = [vals[ch + c] for c in range(ch)]
+            pe = [vals[2 * ch + c] * pos_grad for c in range(ch)]
         else:
             pe = [_interp_gather(in_energy[:, c], input_bin) * pos_grad
                   for c in range(ch)]
@@ -727,20 +871,6 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     mc = jnp.argmax(jnp.stack(pe, 1), axis=1).astype(jnp.int32)  # [nB, B]
     pi_max = _sel(mc, pi)
 
-    tf_j = jnp.asarray(tf)
-
-    if any_random:
-        random_tf = jnp.asarray(tf > f32(MAX_CLEAN_STRETCH))
-        lo_d = f32(MAX_CLEAN_STRETCH) * 2 * random_tf.astype(jnp.float32) - tf_j
-        key = jax.random.PRNGKey(seed)
-        draws = jax.random.uniform(key, (2, nB, B), jnp.float32,
-                                   minval=lo_d[None, :, None],
-                                   maxval=tf_j[None, :, None])
-        btf1 = jnp.where(random_tf[:, None], draws[0], tf_j[:, None])
-        btf2 = jnp.where(random_tf[:, None], draws[1], tf_j[:, None])
-    else:
-        btf1 = btf2 = None   # uniform per-block shift == tf
-
     margin = int(np.ceil(longv * float(tf.max()))) + 2
 
     def vote_gathers(z):
@@ -765,24 +895,11 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         ul = _shift_up(ld, longv)
         return sd, ld, us, ul
 
-    if interp is not None:
-        zs = [input_eff[:, c] for c in range(ch)]
-        base = input_bin
+    if vote_vals is not None:
         if any_random:
-            # _shift_up zero-fills the last k positions; those votes are
-            # masked out of a1/a2 below, but a zero position would drag the
-            # tail chunk's window anchor away from its real positions -- use
-            # the (equally masked) unshifted value as an in-range sentinel.
-            bi = jnp.arange(B)[None, :]
-            base_up1 = jnp.where(bi < B - 1, _shift_up(base, 1), base)
-            base_upl = jnp.where(bi < B - longv, _shift_up(base, longv), base)
-            sd = interp(zs, base - btf1)
-            ld = interp(zs, base - f32(longv) * btf1)
-            us = interp(zs, base_up1 - btf2)
-            ul = interp(zs, base_upl - f32(longv) * btf2)
+            sd, ld, us, ul = vote_vals
         else:
-            sd = interp(zs, base - tf_j[:, None])
-            ld = interp(zs, base - f32(longv) * tf_j[:, None])
+            sd, ld = vote_vals
             us = [_shift_up(x, 1) for x in sd]
             ul = [_shift_up(x, longv) for x in ld]
         if debug:

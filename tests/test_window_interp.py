@@ -238,3 +238,64 @@ def test_interp_grad_env_zero_disables(monkeypatch):
     monkeypatch.delenv("SST_INTERP_GRAD")
     assert spectral.inv_grad_bound_for(0.5) == 2.0
     assert spectral.inv_grad_bound_for(0.5, has_custom_map=True) is None
+
+
+def test_multi_set_matches_single_calls():
+    """interp_planes_window_multi with several position sets over one shared
+    window must equal per-set single calls (which are themselves gather-
+    exact): same planes prefix, nearby positions (the planner's prelim/vote
+    trio pattern)."""
+    rng = np.random.default_rng(17)
+    nB, n, B = 23, 6, 511
+    planes = jnp.asarray(rng.standard_normal((nB, n, B)).astype(np.float32))
+    base = np.arange(B) * 0.9 + rng.uniform(-2, 2, (nB, B))
+    offs = rng.uniform(0.0, 5.0, (nB, 1))
+    p0 = jnp.asarray(base.astype(np.float32))
+    p1 = jnp.asarray((base - offs).astype(np.float32))
+    p2 = jnp.asarray((base - 2 * offs).astype(np.float32))
+    C, L = 64, 128
+
+    results, bad = jax.jit(lambda pl, a, b, c: wavefront.interp_planes_window_multi(
+        pl, [(a, n, False), (b, 3, True), (c, 2, False)], C, L))(
+            planes, p0, p1, p2)
+    assert int(bad) == 0
+
+    full0, _ = jax.jit(lambda p, q: wavefront.interp_planes_window(
+        p, q, C, L))(planes, p0)
+    (lo1, hi1), _ = jax.jit(lambda p, q: wavefront.interp_planes_window(
+        p, q, C, L, taps=True))(planes[:, :3], p1)
+    full2, _ = jax.jit(lambda p, q: wavefront.interp_planes_window(
+        p, q, C, L))(planes[:, :2], p2)
+
+    np.testing.assert_array_equal(np.asarray(results[0]), np.asarray(full0))
+    np.testing.assert_array_equal(np.asarray(results[1][0]), np.asarray(lo1))
+    np.testing.assert_array_equal(np.asarray(results[1][1]), np.asarray(hi1))
+    np.testing.assert_array_equal(np.asarray(results[2]), np.asarray(full2))
+
+
+def test_segment_sum_matmul_matches_scatter():
+    """The TPU windowed-matmul segment sum must match jax.ops.segment_sum on
+    run-structured ids to float accumulation-order noise (docstring's ~1 ulp
+    per partial; gate relative 1e-6)."""
+    rng = np.random.default_rng(23)
+    nB, B = 17, 1023
+    nseg = B // 2 + 2
+    energy = (rng.standard_normal((nB, B)) ** 2).astype(np.float32)
+    smoothed = (energy * rng.uniform(0.5, 1.5, (nB, B))).astype(np.float32)
+    above = energy > smoothed
+    start = above & np.concatenate(
+        [np.ones((nB, 1), bool), ~above[:, :-1]], axis=1)
+    run_id = np.cumsum(start, axis=1).astype(np.int32) - 1
+    seg = np.where(above, run_id, nseg - 1).astype(np.int32)
+    b_idx = np.arange(B, dtype=np.float32)
+    data = np.stack([b_idx[None] * energy, energy], 1).astype(np.float32)
+
+    got = jax.jit(lambda d, r, a: wavefront._segment_sum_runs(
+        d, r, a, nseg))(data, run_id, above)
+    want = [jax.vmap(lambda d, s: jax.ops.segment_sum(
+                d, s, num_segments=nseg))(
+                    jnp.asarray(data[:, p] * above), jnp.asarray(seg))
+            for p in range(2)]
+    ref = np.stack([np.asarray(w) for w in want], axis=1)
+    err = np.abs(np.asarray(got) - ref)
+    assert err.max() <= 1e-5 * (1 + np.abs(ref)).max()
