@@ -1000,14 +1000,25 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
     tiles defeat the DMA path); the same data 128-aligned streams at
     ~550 GB/s — measured 90x.  The block-row count nB is therefore
     zero-padded to a 128 multiple, the diagonal count D to a multiple of
-    lcm(K, 128), and the scan xs is laid out [S, K, P, batch, nBp] so every
-    per-cell plane slice row[j, p] is one contiguous [batch, nBp] tile
+    lcm(K, 128), and the scan xs is laid out [S, K, P, batch, rows] so every
+    per-cell plane slice row[j, p] is one contiguous [batch, rows] tile
     (under plain vmap the batch axis lands between S and K, which strides
     every plane slice across P and costs ~2x).  Padded rows carry all-zero
     planes, which propagate exact zeros through the cell (pe=0 forces the
     weak-phase branch of _make_output to 0*sqrt(0/floor)=0); valid rows
     never read them (the only same-diagonal coupling is shift_k, reading
     row k-1 < nB).
+
+    ROW-GROUP TILING (SST_SWEEP_GROUP, default 128 on TPU): the skewed
+    diagonal extent D = B + (rows-1)*step makes xs bytes grow ~rows^2 for
+    the zero-padded wings; sweeping in groups of GR rows cuts xs to
+    rows*(B + (GR-1)*step) (~65% at bench shapes for GR=128).  Groups run
+    sequentially inside the jit; the one cross-group dependency — lane 0 of
+    a group reads row (g*GR - 1)'s outputs at bins t+1 / t+longv — is
+    injected into the k-shift as two extra [K, ch, batch] xs planes sliced
+    from the previous group's unskewed last row.  Values are bit-identical
+    to the monolithic sweep: the injected values are exactly what shift_k
+    read from the neighbouring lane.
 
     Other layout notes:
       - all planes pack into one [batch, P, nB, B] array; XLA fuses the
@@ -1030,9 +1041,13 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
     def batched_impl(inp: SweepInputs):
         batch, nB, B = inp.a1.shape
         nBp = -(-nB // 128) * 128
-        Dmin = B + (nBp - 1) * step
         align = K * 128 // np.gcd(K, 128)
-        D = -(-Dmin // align) * align
+        on_cpu = jax.default_backend() == "cpu"
+        gr_env = os.environ.get("SST_SWEEP_GROUP", "" if on_cpu else "128")
+        GR = int(gr_env) if gr_env else nBp
+        GR = min(GR, nBp)
+        if nBp % GR:
+            GR = nBp
 
         arrs = []
         for name in ("a1", "a2", "d1", "d2"):
@@ -1049,38 +1064,41 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                          ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
         P = packed.shape[1]            # [batch, P, nBp, B]; pad rows zero
 
-        if jax.default_backend() == "cpu":
-            # CPU: the pad-flatten-reshape pitch merge is a plain memcpy
-            # (no lane tiling), and the TPU row-scan's unrolled DUS makes
-            # LLVM compile for tens of minutes
-            T = D + step
-            xp = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, T - B)))
-            flat = xp.reshape(batch, P, nBp * T)
-            sk = flat[:, :, :nBp * (T - step)].reshape(batch, P, nBp, D)
-            sk = jnp.transpose(sk, (3, 1, 0, 2))   # [D, P, batch, nBp]
-        else:
+        def build_sk(g0, rows_n, D):
+            """Skewed planes for rows [g0, g0+rows_n): [D, P, batch, rows_n].
+            Row r sits at diagonal offset r*step (group-local)."""
+            if on_cpu:
+                # CPU: the pad-flatten-reshape pitch merge is a plain memcpy
+                # (no lane tiling), and the TPU row-scan's unrolled DUS makes
+                # LLVM compile for tens of minutes
+                T = D + step
+                grp = packed[:, :, g0:g0 + rows_n]
+                xp = jnp.pad(grp, ((0, 0), (0, 0), (0, 0), (0, T - B)))
+                flat = xp.reshape(batch, P, rows_n * T)
+                sk = flat[:, :, :rows_n * (T - step)].reshape(
+                    batch, P, rows_n, D)
+                return jnp.transpose(sk, (3, 1, 0, 2))
             # TPU: 8 rows (one sublane tile-row) per step, rank-3 frames
             # (a [.., 1, D] frame wastes 7/8 of every tile); contiguous
             # byte-offset DUS placement beats the pitch merge 3x (its
             # unaligned row pitch forces a lane-rotation relayout)
-            def skew_rows8(_, g):
-                blk = jax.lax.dynamic_slice(packed, (0, 0, g * 8, 0),
+            def skew_rows8(_, j):
+                blk = jax.lax.dynamic_slice(packed, (0, 0, g0 + j * 8, 0),
                                             (batch, P, 8, B))
                 frames = []
                 for r in range(8):
                     frames.append(jax.lax.dynamic_update_slice(
                         jnp.zeros((batch, P, D), packed.dtype),
-                        blk[:, :, r], (0, 0, (g * 8 + r) * step)))
+                        blk[:, :, r], (0, 0, (j * 8 + r) * step)))
                 return _, jnp.stack(frames, 0)     # [8, batch, P, D]
 
             _, rows = jax.lax.scan(skew_rows8, jnp.float32(0),
-                                   jnp.arange(nBp // 8, dtype=jnp.int32))
-            rows = rows.reshape(nBp, batch, P, D)
-            sk = jnp.transpose(rows, (3, 2, 1, 0))  # [D, P, batch, nBp]
-        xs = sk.reshape(D // K, K, P, batch, nBp)
+                                   jnp.arange(rows_n // 8, dtype=jnp.int32))
+            rows = rows.reshape(rows_n, batch, P, D)
+            return jnp.transpose(rows, (3, 2, 1, 0))  # [D, P, batch, rows_n]
 
         def unpack(row):
-            """row [K, P, batch, nBp] -> planes [K, batch, nBp]."""
+            """row [K, P, batch, rows] -> planes [K, batch, rows]."""
             C = jax.lax.complex
             i = [0]
 
@@ -1107,19 +1125,24 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
                                pe=pe, pi=pi)
 
-        def shift_k(x):
-            return jnp.concatenate(
-                [jnp.zeros(x.shape[:-1] + (1,), x.dtype), x[..., :-1]], -1)
+        def shift_k(x, inj):
+            head = (jnp.zeros(x.shape[:-1] + (1,), x.dtype) if inj is None
+                    else inj[..., None])
+            return jnp.concatenate([head, x[..., :-1]], -1)
 
-        def cell(ring_list, x, j):
-            """ring_list: newest-last python list of [ch][batch, nBp]."""
+        def cell(ring_list, x, j, inj1, injl):
+            """ring_list: newest-last python list of [ch][batch, rows]."""
             mc = x.mc[j]
             prev1 = [ring_list[-1][c] for c in range(ch)]
             prevl = [ring_list[0][c] for c in range(ch)]
             down1 = _sel(mc, prev1)
             downl = _sel(mc, prevl)
-            up1 = _sel(mc, [shift_k(p) for p in prevl])
-            upl = _sel(mc, [shift_k(p) for p in prev1])
+            up1 = _sel(mc, [shift_k(prevl[c],
+                                    None if inj1 is None else inj1[c])
+                            for c in range(ch)])
+            upl = _sel(mc, [shift_k(prev1[c],
+                                    None if injl is None else injl[c])
+                            for c in range(ch)])
             phase = (x.d1[j] * down1 + x.d2[j] * downl
                      + x.a1[j] * up1 + x.a2[j] * upl)
             pe_max = _sel(mc, [x.pe[c][j] for c in range(ch)])
@@ -1132,29 +1155,69 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 outs.append(jnp.where(mc == c, out_main, locked))
             return outs
 
-        def body(ring, row):
-            x = unpack(row)
-            ring_list = [[ring[l, c] for c in range(ch)]
-                         for l in range(longv)]
-            emitted = []
-            for j in range(K):
-                outs = cell(ring_list, x, j)
-                ring_list = ring_list[1:] + [outs]
-                emitted.append(jnp.stack(outs, axis=0))
-            ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
-            return ring2, jnp.stack(emitted, axis=0)   # [K, ch, batch, nBp]
+        def run_group(xs, rows_n, inj):
+            """inj: None or [S, K, 2, ch, batch] complex lane-0 injections."""
+            def body(ring, xy):
+                row, ij = xy
+                x = unpack(row)
+                ring_list = [[ring[l, c] for c in range(ch)]
+                             for l in range(longv)]
+                emitted = []
+                for j in range(K):
+                    inj1 = injl_ = None
+                    if ij is not None:
+                        inj1 = [ij[j, 0, c] for c in range(ch)]
+                        injl_ = [ij[j, 1, c] for c in range(ch)]
+                    outs = cell(ring_list, x, j, inj1, injl_)
+                    ring_list = ring_list[1:] + [outs]
+                    emitted.append(jnp.stack(outs, axis=0))
+                ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
+                return ring2, jnp.stack(emitted, axis=0)  # [K,ch,batch,rows]
 
-        ring0 = jnp.zeros((longv, ch, batch, nBp), inp.a1.dtype)
-        _, outs = jax.lax.scan(body, ring0, xs)
-        outs = outs.reshape(D, ch, batch, nBp)
+            ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
+            if inj is None:
+                _, outs = jax.lax.scan(lambda r, row: body(r, (row, None)),
+                                       ring0, xs)
+            else:
+                _, outs = jax.lax.scan(body, ring0, (xs, inj))
+            return outs
 
-        # unskew with channels/batch major, D in lanes (all aligned)
-        skc = jnp.transpose(outs, (1, 2, 3, 0))[:, :, :nB]  # [ch, batch, nB, D]
-        flat = skc.reshape(ch, batch, nB * D)
-        tail = jnp.zeros((ch, batch, nB * step), skc.dtype)
-        view = jnp.concatenate([flat, tail], 2).reshape(ch, batch, nB,
-                                                        D + step)
-        out = view[..., :bands]                    # [ch, batch, nB, bands]
+        def unskew_group(outs, rows_n, D):
+            """[D, ch, batch, rows_n] -> [ch, batch, rows_n, bands] (+ the
+            raw [ch, batch, rows_n, B] view for the next group's inject)."""
+            skc = jnp.transpose(outs, (1, 2, 3, 0))     # [ch,batch,rows,D]
+            flat = skc.reshape(ch, batch, rows_n * D)
+            tail = jnp.zeros((ch, batch, rows_n * step), skc.dtype)
+            view = jnp.concatenate([flat, tail], 2).reshape(
+                ch, batch, rows_n, D + step)
+            return view[..., :bands]
+
+        groups = []
+        prev_last = None       # [ch, batch, B] outputs of row g*GR - 1
+        for g0 in range(0, nBp, GR):
+            D = -(-(B + (GR - 1) * step) // align) * align
+            sk = build_sk(g0, GR, D)
+            xs = sk.reshape(D // K, K, P, batch, GR)
+            inj = None
+            if prev_last is not None:
+                # lane 0 (row g0) reads row g0-1 at bins t+1 and t+longv
+                # (out of range -> 0; those vote coefficients are zero)
+                pl = jnp.moveaxis(prev_last, -1, 0)     # [B, ch, batch]
+                z = jnp.zeros((D + longv, ch, batch), pl.dtype)
+                plp = jax.lax.dynamic_update_slice(z, pl, (0, 0, 0))
+                inj = jnp.stack([plp[1:D + 1], plp[longv:D + longv]],
+                                axis=1)                 # [D, 2, ch, batch]
+                inj = inj.reshape(D // K, K, 2, ch, batch)
+            outs = run_group(xs, GR, inj)
+            outs = outs.reshape(D, ch, batch, GR)
+            og = unskew_group(outs, GR, D)              # [ch,batch,GR,bands]
+            groups.append(og)
+            if g0 + GR < nBp:
+                last = og[:, :, GR - 1]                 # [ch, batch, bands]
+                if bands < B:
+                    last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
+                prev_last = last[..., :B]
+        out = jnp.concatenate(groups, axis=2)[:, :, :nB]
         # swap only the two major dims (minor layout untouched — cheap);
         # the engine consumes channels-major [ch, nB, B] downstream
         return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]

@@ -51,3 +51,46 @@ def test_wavefront_matches_scan(test_signal, case, gate):
     b = _render(sig, rate, "wavefront", **case)
     db = rel_err_db(b, a)
     assert db < gate, (db, gate)
+
+
+def test_sweep_row_group_tiling_matches_monolithic(monkeypatch):
+    """The row-group-tiled sweep (SST_SWEEP_GROUP) must equal the monolithic
+    sweep: rows before the first group boundary BIT FOR BIT, rows after it to
+    compiler fma noise.  The injected lane-0 planes carry bit-identical
+    values to what shift_k read from the adjacent lane, but the two scan
+    bodies are separate XLA programs, so (on CPU) LLVM may contract the
+    phase-vote multiply-adds differently — a ~1 ulp seed that the phase
+    recursion then amplifies chaotically, exactly like the documented
+    oracle-vs-engine chaos bound (docs/PARITY.md).  Keeping only 12 rows
+    past the boundary bounds the amplification so the gate stays tight."""
+    import jax
+    rng = np.random.default_rng(5)
+    ch, nB, B = 2, 140, 512        # nBp=256 -> groups of 128, 12 live rows
+    longv = 6
+
+    def c64(shape):
+        return (rng.standard_normal(shape) +
+                1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    pi = tuple(jnp.asarray(c64((nB, B))) for _ in range(ch))
+    pe = tuple(p.real ** 2 + p.imag ** 2 for p in pi)
+    inp = wavefront.SweepInputs(
+        a1=jnp.asarray(c64((nB, B))), a2=jnp.asarray(c64((nB, B))),
+        d1=jnp.asarray(c64((nB, B))), d2=jnp.asarray(c64((nB, B))),
+        mc=jnp.zeros((nB, B), jnp.int32), pe=pe, pi=pi)
+
+    def run():
+        wavefront._sweep_unskew_fn.cache_clear()
+        fn = wavefront._sweep_unskew_fn(longv, ch, True, B, 8)
+        return np.asarray(jax.jit(fn)(inp))      # [ch, nB, B]
+
+    monkeypatch.delenv("SST_SWEEP_GROUP", raising=False)
+    mono = run()
+    monkeypatch.setenv("SST_SWEEP_GROUP", "128")
+    tiled = run()
+    np.testing.assert_array_equal(tiled[:, :128], mono[:, :128])
+
+    def ri(x):   # complex -> stacked real/imag (rel_err_db casts to float)
+        return np.stack([x.real, x.imag])
+
+    assert rel_err_db(ri(tiled[:, 128:]), ri(mono[:, 128:])) < -85

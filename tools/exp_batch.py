@@ -22,9 +22,11 @@ def main():
                os.environ.get("SST_EXP_BATCHES", "8,16,24,32").split(",")]
     rate, secs = 48000, 10.0
     n = int(rate * secs)
-    kw = dict(channels=2, sample_rate=rate, in_samples=n, out_samples=n,
-              semitones=float(os.environ.get("SST_EXP_SEMI", "12")),
-              tonality_hz=8000)
+    tf = float(os.environ.get("SST_EXP_TIME", "1.0"))
+    semi = float(os.environ.get("SST_EXP_SEMI", "12"))
+    kw = dict(channels=2, sample_rate=rate, in_samples=n,
+              out_samples=int(n * tf), semitones=semi,
+              tonality_hz=8000 if semi else 0.0)
     model = StretchModel.build(**kw)
     rng = np.random.default_rng(0)
     for batch in batches:
