@@ -1065,37 +1065,17 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         P = packed.shape[1]            # [batch, P, nBp, B]; pad rows zero
 
         def build_sk(g0, rows_n, D):
-            """Skewed planes for rows [g0, g0+rows_n): [D, P, batch, rows_n].
-            Row r sits at diagonal offset r*step (group-local)."""
-            if on_cpu:
-                # CPU: the pad-flatten-reshape pitch merge is a plain memcpy
-                # (no lane tiling), and the TPU row-scan's unrolled DUS makes
-                # LLVM compile for tens of minutes
-                T = D + step
-                grp = packed[:, :, g0:g0 + rows_n]
-                xp = jnp.pad(grp, ((0, 0), (0, 0), (0, 0), (0, T - B)))
-                flat = xp.reshape(batch, P, rows_n * T)
-                sk = flat[:, :, :rows_n * (T - step)].reshape(
-                    batch, P, rows_n, D)
-                return jnp.transpose(sk, (3, 1, 0, 2))
-            # TPU: 8 rows (one sublane tile-row) per step, rank-3 frames
-            # (a [.., 1, D] frame wastes 7/8 of every tile); contiguous
-            # byte-offset DUS placement beats the pitch merge 3x (its
-            # unaligned row pitch forces a lane-rotation relayout)
-            def skew_rows8(_, j):
-                blk = jax.lax.dynamic_slice(packed, (0, 0, g0 + j * 8, 0),
-                                            (batch, P, 8, B))
-                frames = []
-                for r in range(8):
-                    frames.append(jax.lax.dynamic_update_slice(
-                        jnp.zeros((batch, P, D), packed.dtype),
-                        blk[:, :, r], (0, 0, (j * 8 + r) * step)))
-                return _, jnp.stack(frames, 0)     # [8, batch, P, D]
-
-            _, rows = jax.lax.scan(skew_rows8, jnp.float32(0),
-                                   jnp.arange(rows_n // 8, dtype=jnp.int32))
-            rows = rows.reshape(rows_n, batch, P, D)
-            return jnp.transpose(rows, (3, 2, 1, 0))  # [D, P, batch, rows_n]
+            """CPU skew for rows [g0, g0+rows_n): [D, P, batch, rows_n].
+            Pad-flatten-reshape pitch merge — a plain memcpy on CPU (no lane
+            tiling; the TPU path's unrolled DUS row-scan makes LLVM compile
+            for tens of minutes).  Row r sits at offset r*step."""
+            T = D + step
+            grp = packed[:, :, g0:g0 + rows_n]
+            xp = jnp.pad(grp, ((0, 0), (0, 0), (0, 0), (0, T - B)))
+            flat = xp.reshape(batch, P, rows_n * T)
+            sk = flat[:, :, :rows_n * (T - step)].reshape(
+                batch, P, rows_n, D)
+            return jnp.transpose(sk, (3, 1, 0, 2))
 
         def unpack(row):
             """row [K, P, batch, rows] -> planes [K, batch, rows]."""
@@ -1156,7 +1136,7 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return outs
 
         def run_group(xs, rows_n, inj):
-            """inj: None or [S, K, 2, ch, batch] complex lane-0 injections."""
+            """inj: [S, K, 2, ch, batch] complex lane-0 injections."""
             def body(ring, xy):
                 row, ij = xy
                 x = unpack(row)
@@ -1164,10 +1144,8 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                              for l in range(longv)]
                 emitted = []
                 for j in range(K):
-                    inj1 = injl_ = None
-                    if ij is not None:
-                        inj1 = [ij[j, 0, c] for c in range(ch)]
-                        injl_ = [ij[j, 1, c] for c in range(ch)]
+                    inj1 = [ij[j, 0, c] for c in range(ch)]
+                    injl_ = [ij[j, 1, c] for c in range(ch)]
                     outs = cell(ring_list, x, j, inj1, injl_)
                     ring_list = ring_list[1:] + [outs]
                     emitted.append(jnp.stack(outs, axis=0))
@@ -1175,16 +1153,11 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 return ring2, jnp.stack(emitted, axis=0)  # [K,ch,batch,rows]
 
             ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
-            if inj is None:
-                _, outs = jax.lax.scan(lambda r, row: body(r, (row, None)),
-                                       ring0, xs)
-            else:
-                _, outs = jax.lax.scan(body, ring0, (xs, inj))
+            _, outs = jax.lax.scan(body, ring0, (xs, inj))
             return outs
 
         def unskew_group(outs, rows_n, D):
-            """[D, ch, batch, rows_n] -> [ch, batch, rows_n, bands] (+ the
-            raw [ch, batch, rows_n, B] view for the next group's inject)."""
+            """[D, ch, batch, rows_n] -> [ch, batch, rows_n, bands]."""
             skc = jnp.transpose(outs, (1, 2, 3, 0))     # [ch,batch,rows,D]
             flat = skc.reshape(ch, batch, rows_n * D)
             tail = jnp.zeros((ch, batch, rows_n * step), skc.dtype)
@@ -1192,32 +1165,52 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 ch, batch, rows_n, D + step)
             return view[..., :bands]
 
-        groups = []
-        prev_last = None       # [ch, batch, B] outputs of row g*GR - 1
-        for g0 in range(0, nBp, GR):
-            D = -(-(B + (GR - 1) * step) // align) * align
-            sk = build_sk(g0, GR, D)
-            xs = sk.reshape(D // K, K, P, batch, GR)
-            inj = None
-            if prev_last is not None:
-                # lane 0 (row g0) reads row g0-1 at bins t+1 and t+longv
-                # (out of range -> 0; those vote coefficients are zero)
-                pl = jnp.moveaxis(prev_last, -1, 0)     # [B, ch, batch]
-                z = jnp.zeros((D + longv, ch, batch), pl.dtype)
-                plp = jax.lax.dynamic_update_slice(z, pl, (0, 0, 0))
-                inj = jnp.stack([plp[1:D + 1], plp[longv:D + longv]],
-                                axis=1)                 # [D, 2, ch, batch]
-                inj = inj.reshape(D // K, K, 2, ch, batch)
-            outs = run_group(xs, GR, inj)
+        nG = nBp // GR
+        D = -(-(B + (GR - 1) * step) // align) * align
+
+        if on_cpu:
+            sk_all = jnp.stack([build_sk(g * GR, GR, D) for g in range(nG)])
+        else:
+            def skew_rows8(_, j):
+                blk = jax.lax.dynamic_slice(packed, (0, 0, j * 8, 0),
+                                            (batch, P, 8, B))
+                off = (j % (GR // 8)) * 8 * step       # group-local offset
+                frames = []
+                for r in range(8):
+                    frames.append(jax.lax.dynamic_update_slice(
+                        jnp.zeros((batch, P, D), packed.dtype),
+                        blk[:, :, r], (0, 0, off + r * step)))
+                return _, jnp.stack(frames, 0)         # [8, batch, P, D]
+
+            _, rows = jax.lax.scan(skew_rows8, jnp.float32(0),
+                                   jnp.arange(nBp // 8, dtype=jnp.int32))
+            rows = rows.reshape(nG, GR, batch, P, D)
+            sk_all = jnp.transpose(rows, (0, 4, 3, 2, 1))
+        xs_all = sk_all.reshape(nG, D // K, K, P, batch, GR)
+
+        def group_body(prev_last, xs_g):
+            # lane 0 (first row of the group) reads the previous group's
+            # last row at bins t+1 and t+longv (zeros for group 0 — exactly
+            # the zero head the monolithic shift_k used for row 0; out of
+            # range -> 0, those vote coefficients are zero)
+            pl = jnp.moveaxis(prev_last, -1, 0)         # [B, ch, batch]
+            z = jnp.zeros((D + longv, ch, batch), pl.dtype)
+            plp = jax.lax.dynamic_update_slice(z, pl, (0, 0, 0))
+            inj = jnp.stack([plp[1:D + 1], plp[longv:D + longv]],
+                            axis=1)                     # [D, 2, ch, batch]
+            inj = inj.reshape(D // K, K, 2, ch, batch)
+            outs = run_group(xs_g, GR, inj)
             outs = outs.reshape(D, ch, batch, GR)
             og = unskew_group(outs, GR, D)              # [ch,batch,GR,bands]
-            groups.append(og)
-            if g0 + GR < nBp:
-                last = og[:, :, GR - 1]                 # [ch, batch, bands]
-                if bands < B:
-                    last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
-                prev_last = last[..., :B]
-        out = jnp.concatenate(groups, axis=2)[:, :, :nB]
+            last = og[:, :, GR - 1]
+            if bands < B:
+                last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
+            return last[..., :B], og
+
+        carry0 = jnp.zeros((ch, batch, B), inp.a1.dtype)
+        _, ogs = jax.lax.scan(group_body, carry0, xs_all)
+        out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
+            ch, batch, nBp, bands)[:, :, :nB]
         # swap only the two major dims (minor layout untouched — cheap);
         # the engine consumes channels-major [ch, nB, B] downstream
         return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]
