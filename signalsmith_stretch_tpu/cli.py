@@ -10,8 +10,20 @@ round(input_length * time) samples).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time as _time
+
+# Device pinning that wins over site-level platform injection (some TPU
+# attachments overwrite JAX_PLATFORMS at interpreter startup, so that env
+# var cannot be trusted end-to-end): SST_PLATFORM=cpu forces the backend
+# before the first jax import.
+_plat = os.environ.get("SST_PLATFORM")
+if _plat:
+    os.environ["JAX_PLATFORMS"] = _plat
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 import numpy as np
 

@@ -82,6 +82,10 @@ def test_cli_subprocess_roundtrip(test_signal, tmp_path):
     outp = str(tmp_path / "out.raw")
     write_raw(inp, sig[:, :8000], rate)
     env = dict(os.environ)
+    # pin the child to CPU: the test process's conftest backend choice does
+    # not propagate, and a wedged TPU attachment would hang the child at
+    # backend init (SST_PLATFORM survives site-level JAX_PLATFORMS injection)
+    env["SST_PLATFORM"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "signalsmith_stretch_tpu.cli", inp, outp,
          "--raw", "--cheaper", "--time=1.25", "--semitones=2"],
