@@ -19,6 +19,15 @@ import os
 import sys
 import time
 
+# same SST_PLATFORM pinning as cli.py (site startup hooks can overwrite
+# JAX_PLATFORMS before main() runs)
+_plat = os.environ.get("SST_PLATFORM")
+if _plat:
+    os.environ["JAX_PLATFORMS"] = _plat
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 import numpy as np
 
 
