@@ -243,14 +243,23 @@ def analyze_stage(audio: jnp.ndarray, plan: ExactPlan):
     Returns (spectra, prev_spectra), both [nB, ch, B] complex64."""
     timeline = _build_timeline(audio, plan)
     block = plan.cfg.block_samples
-    spectra = stft.analyze(gather_frames(timeline, plan.frame_idx, block),
-                           plan.basis)
+    nB = plan.frame_idx.shape[0]
     if len(plan.re_rows):
-        re_spec = stft.analyze(
-            gather_frames(timeline, plan.re_frame_idx, block), plan.basis)
-        prev_spectra = (jnp.zeros_like(spectra)
-                        .at[jnp.asarray(plan.re_rows)].set(re_spec))
+        # one combined gather + ONE batched FFT for main and re-analysis
+        # frames: shares the timeline reads and doubles the DFT-matmul batch
+        # (uniform-stride run collapsing applies to each half unchanged)
+        all_idx = np.concatenate([plan.frame_idx, plan.re_frame_idx], axis=0)
+        all_spec = stft.analyze(gather_frames(timeline, all_idx, block),
+                                plan.basis)
+        spectra = all_spec[:nB]
+        if len(plan.re_rows) == nB:      # fixed-rate renders reanalyse every
+            prev_spectra = all_spec[nB:]  # block: plain split, no scatter
+        else:
+            prev_spectra = (jnp.zeros_like(spectra)
+                            .at[jnp.asarray(plan.re_rows)].set(all_spec[nB:]))
     else:
+        spectra = stft.analyze(gather_frames(timeline, plan.frame_idx, block),
+                               plan.basis)
         prev_spectra = jnp.zeros_like(spectra)
     return spectra, prev_spectra
 
