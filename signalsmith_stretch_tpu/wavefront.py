@@ -481,6 +481,102 @@ def _segment_sum_runs(data_planes, seg, above, nseg, C=512, slab=8):
     return outs.reshape(nBp, n, nseg)[:nB]                   # [nB, n, nseg]
 
 
+def _rank_geometry(grad_bound: float):
+    """(C, L) for _rank_taps_window: a C-bin output chunk holds at most
+    C*grad_bound/2 + 2 peaks (cell spacing >= 2/grad_bound for the built-in
+    monotone maps), which must fit the L-window with tap slack."""
+    for C, L in ((128, 128), (64, 128), (128, 256), (64, 256), (32, 256)):
+        if C * grad_bound / 2.0 + 6.0 <= L - 2:
+            return C, L
+    return None
+
+
+def _rank_taps_window(cells, tables, B, C, L, slab=8):
+    """Fused peak rank + peak-table tap extraction over ONE shared window.
+
+    cells [nB, nseg] int32 NONDECREASING (built-in frequency maps are
+    monotone; invalid peaks sit at cell == B); tables [nB, n, nseg] f32.
+    Returns (k [nB, B] int32, lo [nB, n, B], hi [nB, n, B], violations) with
+    k[b] = #cells <= b (:888-891), lo = tables[k-1], hi = tables[k] (zero
+    outside [0, nseg)).
+
+    Per C-bin output chunk: k0 = #cells below the chunk start (a cheap
+    compare-reduce over nseg at chunk granularity), ONE [1+n, L] window of
+    the peak arrays anchored at peak k0-1, an in-window compare-reduce
+    finishing the rank (cells are sorted, so every peak with cell inside
+    the chunk has rank within the window — the geometry bound), and a
+    one-hot tap select against the same window (hi = the one-lane-shifted
+    window, as in interp_planes_window_multi).  Replaces a global
+    [nB, B, nseg] rank compare AND a second window extraction; `violations`
+    counts chunks whose peak population overflowed the window (never, for
+    maps within the declared gradient bound — same contract as the interp).
+    """
+    nB, nseg = cells.shape
+    n = tables.shape[1]
+    nchunk = -(-B // C)
+    Bp = nchunk * C
+    nslab = -(-nB // slab)
+    nBp = nslab * slab
+    f1 = jnp.float32
+
+    cellsP = jnp.pad(cells, ((0, nBp - nB), (0, 0)), constant_values=B)
+    tablesP = jnp.pad(tables, ((0, nBp - nB), (0, 0), (0, 0)))
+    starts = jnp.arange(nchunk, dtype=jnp.int32) * C
+    # base rank per chunk: ops nB*nchunk*nseg (tiny next to nB*B*nseg)
+    k0 = jnp.sum((cellsP[:, None, :] < starts[None, :, None])
+                 .astype(jnp.int32), axis=2)               # [nBp, nchunk]
+    a = k0 - 1                                             # window anchor
+    cz = jnp.pad(cellsP, ((0, 0), (L, L)), constant_values=B)
+    tz = jnp.pad(tablesP, ((0, 0), (0, 0), (L, L)))
+    bvals = jnp.arange(Bp, dtype=jnp.int32).reshape(nchunk, C)
+    wio = jnp.arange(L, dtype=jnp.int32)
+
+    def do_slab(args):
+        av, czs, tzs = args
+        # av [slab, nchunk]; czs [slab, nseg+2L]; tzs [slab, n, nseg+2L]
+
+        def slc(row, s0):
+            return jax.lax.dynamic_slice(row, (s0 + L,), (L,))
+
+        def slt(row, s0):
+            return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
+
+        winc = jax.vmap(jax.vmap(slc, in_axes=(None, 0)),
+                        in_axes=(0, 0))(czs, av)           # [slab, nchunk, L]
+        wint = jax.vmap(jax.vmap(slt, in_axes=(None, 0)),
+                        in_axes=(0, 0))(tzs, av)           # [slab,nchunk,n,L]
+        # in-window rank: count peaks a+w (w>=1) with cell <= b
+        cnt = (winc[:, :, None, :] <= bvals[None, :, :, None]) \
+            & (wio >= 1)
+        kloc = jnp.sum(cnt.astype(jnp.int32), axis=-1)     # [slab, nchunk, C]
+        # overflow: a peak at the window's edge still maps inside the chunk
+        edge = winc[:, :, L - 1] <= (starts + (C - 1))[None, :]
+        bad = edge.sum() + (kloc > L - 2).sum()
+
+        M = jnp.where(kloc[..., None] == wio, f1(1), f1(0))
+        win_h = jnp.concatenate(
+            [wint[..., 1:], jnp.zeros(wint.shape[:-1] + (1,), wint.dtype)],
+            -1)
+        w2 = jnp.concatenate([wint, win_h], axis=-2)       # [slab,nc,2n,L]
+        out = jnp.einsum("scnw,scxw->scnx", w2, M,
+                         precision=jax.lax.Precision.HIGHEST)
+
+        def fold(res):                                     # [slab,nchunk,n,C]
+            return jnp.transpose(res, (0, 2, 1, 3)).reshape(slab, n, Bp)
+
+        k_full = (av[..., None] + 1 + kloc).reshape(slab, Bp)
+        return (k_full, fold(out[..., :n, :]), fold(out[..., n:, :])), bad
+
+    (ks, los, his), bads = jax.lax.map(
+        do_slab, (a.reshape(nslab, slab, nchunk),
+                  cz.reshape(nslab, slab, nseg + 2 * L),
+                  tz.reshape(nslab, slab, n, nseg + 2 * L)))
+    k = ks.reshape(nBp, Bp)[:nB, :B]
+    lo = los.reshape(nBp, n, Bp)[:nB, :, :B]
+    hi = his.reshape(nBp, n, Bp)[:nB, :, :B]
+    return k, lo, hi, jnp.sum(bads)
+
+
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     """Batched twin of spectral._peaks_and_map over [nB, B], with the
     per-bin peak-table lookups (peak_out/peak_in at k-1 and k, :894-912)
@@ -526,11 +622,6 @@ def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     cells = jnp.where(valid,
                       jnp.clip(jnp.ceil(peak_out), 0, B).astype(jnp.int32),
                       jnp.int32(B))
-    # k[b] = #peaks with cell <= b (:888-891).  A fused compare-reduce beats
-    # the scatter histogram + cumsum ~2x on TPU (scatters walk the scalar
-    # core); invalid entries sit at cell == B > any b, so they never count.
-    k = jnp.sum((cells[:, None, :] <= jnp.arange(B, dtype=jnp.int32)
-                 [None, :, None]).astype(jnp.int32), axis=2)       # [nB, B]
 
     last = jnp.maximum(n_peaks - 1, 0)
     first_in, first_out = peak_in[:, 0], peak_out[:, 0]
@@ -549,12 +640,25 @@ def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
     # b >= ceil(last_out) >= trunc(last_out)).
     peak_out_tbl = jnp.where(valid, peak_out_raw, f32(0))
     tables = jnp.stack([peak_out_tbl, peak_in], axis=1)            # [nB,2,nseg]
-    # geometry is map-independent here: within a 128-bin chunk k rises by
-    # at most ceil(128/2)+1 = 65 (run starts are >= 2 bins apart), so
-    # (C=128, L=128) always has capacity -- half the window slices of the
-    # caller's map-bounded geometry at the same selection-matrix bytes
-    (lo, hi), bad = interp_planes_window(
-        tables, k.astype(jnp.float32) - f1(0.5), 128, 128, taps=True)
+    rt_geom = (_rank_geometry(flags.inv_grad_bound)
+               if (flags.inv_grad_bound is not None
+                   and os.environ.get("SST_RANK", "window") == "window")
+               else None)
+    if rt_geom is not None:
+        # fused rank + taps over one shared per-chunk window (see
+        # _rank_taps_window) — the global [nB, B, nseg] rank compare and a
+        # second window pass both collapse into it
+        k, lo, hi, bad = _rank_taps_window(cells, tables, B, *rt_geom)
+    else:
+        # k[b] = #peaks with cell <= b (:888-891).  A fused compare-reduce
+        # beats the scatter histogram + cumsum ~2x on TPU (scatters walk the
+        # scalar core); invalid entries sit at cell == B, never counted.
+        k = jnp.sum((cells[:, None, :] <= jnp.arange(B, dtype=jnp.int32)
+                     [None, :, None]).astype(jnp.int32), axis=2)   # [nB, B]
+        # tap geometry is map-independent: within a 128-bin chunk k rises
+        # by at most ceil(128/2)+1 = 65 (run starts are >= 2 bins apart)
+        (lo, hi), bad = interp_planes_window(
+            tables, k.astype(jnp.float32) - f1(0.5), 128, 128, taps=True)
     prev_o, prev_in_ = lo[:, 0], lo[:, 1]
     next_o, next_in_ = hi[:, 0], hi[:, 1]
 

@@ -299,3 +299,35 @@ def test_segment_sum_matmul_matches_scatter():
     ref = np.stack([np.asarray(w) for w in want], axis=1)
     err = np.abs(np.asarray(got) - ref)
     assert err.max() <= 1e-5 * (1 + np.abs(ref)).max()
+
+
+def test_rank_taps_window_matches_global(monkeypatch):
+    """_rank_taps_window (fused per-chunk rank + taps) must agree with the
+    global compare-reduce + windowed-tap path bit for bit on monotone cells
+    from a real mapped plan."""
+    rng = np.random.default_rng(31)
+    monkeypatch.setenv("SST_INTERP", "window")
+
+    from signalsmith_stretch_tpu.config import StretchConfig
+    from signalsmith_stretch_tpu.utils.evaluation import synth_clip
+    from signalsmith_stretch_tpu import engine
+
+    rate = 8000
+    sig = synth_clip("transients", rate, 1.0)
+    model_kw = dict(channels=1, sample_rate=rate, in_samples=sig.shape[1],
+                    out_samples=int(sig.shape[1] * 1.2))
+    for semis in (12.0, -12.0):
+        model = StretchModel.build(semitones=semis, tonality_hz=3000,
+                                   **model_kw)
+        x = jnp.asarray(sig)
+
+        def render():
+            wavefront._sweep_unskew_fn.cache_clear()
+            return np.asarray(jax.jit(lambda a: model(a))(x))
+
+        monkeypatch.setenv("SST_RANK", "window")
+        a = render()
+        monkeypatch.setenv("SST_RANK", "global")
+        b = render()
+        monkeypatch.delenv("SST_RANK")
+        np.testing.assert_array_equal(a, b)

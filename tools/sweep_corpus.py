@@ -128,23 +128,45 @@ def main():
             out, ok = s.exact(sig, out_len)
             out = np.asarray(out)
             checks = {}
+            ref2 = None
+            if args.samples:
+                # the oracle's own sensitivity as the yardstick: a 1-ulp
+                # input perturbation inside the clean regime, a different
+                # RNG seed in the randomized (>2x) regime (there the two
+                # implementations draw different streams BY DESIGN, so
+                # seed-to-seed distance is the meaningful floor)
+                if randomized:
+                    ref2 = run_oracle(args.oracle, tmp, sig, rate, time_f=tf,
+                                      semitones=st, cheaper=True, split=False,
+                                      seed=2)
+                else:
+                    pert = np.nextafter(
+                        sig, np.float32(np.inf)).astype(np.float32)
+                    ref2 = run_oracle(args.oracle, tmp, pert, rate, time_f=tf,
+                                      semitones=st, cheaper=True, split=False)
             if not ok or out.shape != ref.shape:
                 checks["shape"] = (False, "render failed")
             else:
+                bg, eg = band_gate, env_gate
+                if ref2 is not None:
+                    # chaos-relative floors: extreme maps (|st|=16) and long
+                    # stretches push the oracle's own 1-ulp/seed sensitivity
+                    # above the static gates — gate 1.5x above it instead
+                    bch = float(np.abs(band_energies(ref2, rate)
+                                       - band_energies(ref, rate)).max())
+                    ech = envelope_db(ref2, ref, rate)
+                    bg = max(bg, 1.5 * bch + 0.01)
+                    eg = max(eg, 1.5 * ech + 0.02)
                 be = float(np.abs(band_energies(out, rate)
                                   - band_energies(ref, rate)).max())
-                checks["band"] = (be < band_gate, f"{be:.3f}<{band_gate}")
+                checks["band"] = (be < bg, f"{be:.3f}<{bg:.3g}")
                 ed = envelope_db(out, ref, rate)
-                checks["env"] = (ed < env_gate, f"{ed:.2f}dB<{env_gate}")
+                checks["env"] = (ed < eg, f"{ed:.2f}dB<{eg:.3g}")
                 if args.samples and not mapped and tf <= 2.0:
                     # chaos-relative sample gate, clear of the flush tail
                     # (docs/PARITY.md "flush tail is RNG-divergent")
                     cut = out.shape[1] - 4 * (s.block_samples()
                                               + s.interval_samples())
-                    pert = np.nextafter(
-                        sig, np.float32(np.inf)).astype(np.float32)
-                    ref2 = run_oracle(args.oracle, tmp, pert, rate, time_f=tf,
-                                      semitones=st, cheaper=True, split=False)
                     # 12 dB headroom over the 1-ulp chaos probe: with
                     # matched split modes ours-vs-oracle tracks the chaos
                     # curve within a few dB (see tests/test_corpus_stats.py)
