@@ -1312,7 +1312,13 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return last[..., :B], og
 
         carry0 = jnp.zeros((ch, batch, B), inp.a1.dtype)
-        _, ogs = jax.lax.scan(group_body, carry0, xs_all)
+        if nG == 1:
+            # monolithic: skip the group scan (a nested scan costs real
+            # LLVM/XLA compile time for zero runtime benefit at nG=1)
+            _, og = group_body(carry0, xs_all[0])
+            ogs = og[None]
+        else:
+            _, ogs = jax.lax.scan(group_body, carry0, xs_all)
         out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
             ch, batch, nBp, bands)[:, :, :nB]
         # swap only the two major dims (minor layout untouched — cheap);
