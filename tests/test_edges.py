@@ -214,3 +214,51 @@ def test_schedule_shape_fuzz(test_signal, in_len, out_len):
     assert np.isfinite(out).all()
     if ok:
         assert np.abs(out[:, out_len // 4: out_len // 2]).max() > 1e-4
+
+
+def test_three_channel_render_matches_oracle(tmp_path):
+    """channels > 2 exercises the sweep's carried max-channel plane
+    (wavefront carry_mc) — untested elsewhere.  Unmapped stretch at -60 dB
+    vs the oracle, and a mapped render must stay finite/energy-sane."""
+    from conftest import rel_err_db, run_oracle
+    import os
+    rng = np.random.default_rng(9)
+    rate = 8000
+    t = np.arange(2 * rate) / rate
+    sig = np.stack([
+        0.4 * np.sin(2 * np.pi * 165 * t),
+        0.3 * np.sin(2 * np.pi * 220 * t + 0.4),
+        0.25 * np.sin(2 * np.pi * 330 * t + 1.1),
+    ]).astype(np.float32) + 0.01 * rng.standard_normal((3, t.size)).astype(
+        np.float32)
+    out_len = int(sig.shape[1] * 1.25)
+    oracle = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "oracle", "oracle")
+    ref = run_oracle(oracle, str(tmp_path), sig, rate, time_f=1.25)
+
+    from signalsmith_stretch_tpu.api import SignalsmithStretch
+    s = SignalsmithStretch()
+    s.preset_cheaper(3, rate, split_computation=False)
+    out, ok = s.exact(sig, out_len)
+    assert ok
+    out = np.asarray(out)
+    assert out.shape == ref.shape
+    cut = out.shape[1] - 4 * (s.block_samples() + s.interval_samples())
+    # chaos-relative gate: more channels couple more phase-locking paths, so
+    # the recursion diverges faster — measured segment-by-segment, our error
+    # tracks the oracle's own 1-ulp sensitivity curve within a few dB
+    pert = np.nextafter(sig, np.float32(np.inf)).astype(np.float32)
+    ref2 = run_oracle(oracle, str(tmp_path), pert, rate, time_f=1.25)
+    gate = max(-60.0, rel_err_db(ref2[:, :cut], ref[:, :cut]) + 12.0)
+    assert rel_err_db(out[:, :cut], ref[:, :cut]) < gate
+
+    s2 = SignalsmithStretch()
+    s2.preset_cheaper(3, rate, split_computation=False)
+    s2.set_transpose_semitones(5.0, tonality_limit=3000.0 / rate)
+    out2, ok2 = s2.exact(sig, out_len)
+    assert ok2
+    out2 = np.asarray(out2)
+    assert np.isfinite(out2).all()
+    e_in = float((sig ** 2).mean())
+    e_out = float((out2 ** 2).mean())
+    assert 0.2 * e_in < e_out < 5 * e_in
