@@ -125,9 +125,9 @@ def _sweep_kernel(st_re, st_im, lt_re, lt_im, pu_re, pu_im,
             win_im[c, k] = window[k][c][1]
 
 
-@functools.partial(jax.jit, static_argnames=("ch", "longv"))
+@functools.partial(jax.jit, static_argnames=("ch", "longv", "interpret"))
 def main_prediction_sweep(st, lt, pu, pe_max, pi_max, mc, ct, pe_all, pi_all,
-                          *, ch: int, longv: int):
+                          *, ch: int, longv: int, interpret: bool = False):
     """Batched sweep.  Shapes (complex64 unless noted):
       st, lt, pu, pi_max: [N, B]; pe_max [N, B] f32; mc [N, B] int32
       ct, pi_all: [ch, N, B]; pe_all [ch, N, B] f32
@@ -180,6 +180,7 @@ def main_prediction_sweep(st, lt, pu, pe_max, pi_max, mc, ct, pe_all, pi_all,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(st_re, st_im, lt_re, lt_im, pu_re, pu_im, pe_max_t, pim_re, pim_im,
       mc_t, ct_re, ct_im, pe_all_t, pia_re, pia_im)
 
