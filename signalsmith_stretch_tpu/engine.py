@@ -393,10 +393,40 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
 
 
 def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
-    """Compiled exact() renderer for one plan; vmap over a batch axis upstream."""
+    """Compiled exact() renderer for one plan; vmap over a batch axis upstream.
+
+    Single-clip path only: an ALL-ZERO clip short-circuits the whole
+    spectral pipeline through lax.cond (the throughput side of the silence
+    bypass, signalsmith-stretch.h:240-278).  The condition is total energy
+    == 0, not the 1e-15 noise floor: sub-noisefloor-but-nonzero clips must
+    keep the full path, whose traced bypass selects reproduce the
+    reference's passthrough of those tiny values bit for bit.  For exact
+    zeros every path — bypass passthrough, hard-zero flush, or the spectral
+    path (zero spectra -> makeOutput scales by sqrt(0) -> 0) — produces
+    exact zeros, so the shortcut is bit-identical (the sole corner: inputs
+    whose f32 squares ALL underflow to zero, |x| < ~1e-19, also hit the
+    zero branch; the reference's own f32 energy scan sees 0.0 there too and
+    zeroes/bypasses, leaving at most an O(1e-19)-amplitude difference).
+    Gated in tests/test_silence_exact.py.  (Batched renders keep the
+    traced-select form: under vmap a cond becomes a select that would run
+    BOTH branches.)
+    """
 
     @jax.jit
     def run(audio, controls, seed=0):
-        return render_exact(audio, plan, controls, flags, seed)
+        if not plan.sched.valid:
+            return render_exact(audio, plan, controls, flags, seed)
+        # applied regardless of SST_SILENCE (which gates only the traced
+        # region selects): the shortcut is exact on its own terms, and
+        # keeping one program shape preserves bit-equality between the
+        # SST_SILENCE=0/1 renders (different XLA programs contract fmas
+        # differently, which the chaotic recursion would amplify)
+        out_len = plan.sched.out_samples
+        total = jnp.sum(audio.astype(jnp.float32) ** 2)
+        return jax.lax.cond(
+            total == jnp.float32(0),
+            lambda a: jnp.zeros((a.shape[0], out_len), jnp.float32),
+            lambda a: render_exact(a, plan, controls, flags, seed),
+            audio)
 
     return run

@@ -124,3 +124,29 @@ def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path):
     ref2 = run_oracle(oracle_bin, str(tmp_path), pert, RATE, time_f=1.25)
     gate = max(-60.0, rel_err_db(ref2[:, :cut], ref[:, :cut]) + 18.0)
     assert rel_err_db(out[:, :cut], ref[:, :cut]) < gate
+
+
+def test_silent_clip_cond_short_circuit(oracle_bin, tmp_path):
+    """The single-clip jitted path lax.cond-skips the whole pipeline for a
+    fully-silent clip: output must be exactly zeros (like the oracle's) and
+    equal the SST_SILENCE=0 full render bit for bit (zero spectra propagate
+    zeros)."""
+    import os
+    sig = np.zeros((2, 2 * RATE), np.float32)
+    out_len = int(sig.shape[1] * 1.25)
+    ref = run_oracle(oracle_bin, str(tmp_path), sig, RATE, time_f=1.25)
+
+    s = SignalsmithStretch(seed=1)
+    s.preset_cheaper(2, RATE, split_computation=False)
+    out, ok = s.exact(sig, out_len)
+    assert ok and not np.asarray(out).any() and not ref.any()
+
+    os.environ["SST_SILENCE"] = "0"
+    try:
+        s2 = SignalsmithStretch(seed=1)
+        s2.preset_cheaper(2, RATE, split_computation=False)
+        out_full, ok2 = s2.exact(sig, out_len)
+    finally:
+        del os.environ["SST_SILENCE"]
+    assert ok2
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_full))
