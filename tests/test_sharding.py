@@ -94,3 +94,20 @@ def test_timechunk_energy_profile(test_signal):
     rms = [float(np.sqrt(np.mean(out[:, i*seg:(i+1)*seg] ** 2)))
            for i in range(1, 7)]
     assert min(rms) > 0.5 * max(rms), rms
+
+
+def test_timechunk_sharded_matches_local(test_signal):
+    """SP with the chunk axis sharded across the 8-device mesh must equal
+    the local (unsharded vmap) chunked render at partition-noise level."""
+    sig, rate = test_signal
+    cfg = StretchConfig.preset_cheaper(1, rate, False)
+    controls = spectral.Controls.make()
+    flags = spectral.SpectralFlags(False, False, False)
+    out_samples = int(sig.shape[1] * 1.25)
+
+    local = stretch_long(sig, out_samples, cfg, controls, flags, n_chunks=8)
+    mesh = pbatch.make_mesh()
+    sharded = stretch_long(sig, out_samples, cfg, controls, flags,
+                           n_chunks=8, mesh=mesh)
+    assert sharded.shape == local.shape
+    assert rel_err_db(np.asarray(sharded), np.asarray(local)) < -55
