@@ -1061,6 +1061,18 @@ def _make_output(pe, pi, phase):
     return phase2 * jnp.sqrt(pe / pn2)
 
 
+def _make_output_pair(pe, pir, pii, phr, phi):
+    """_make_output on f32 real/imag pairs (same op order)."""
+    pn = phr * phr + phi * phi
+    weak = pn <= f32(NOISE_FLOOR)
+    fn = pir * pir + pii * pii
+    p2r = jnp.where(weak, pir, phr)
+    p2i = jnp.where(weak, pii, phi)
+    pn2 = jnp.where(weak, fn + f32(NOISE_FLOOR), pn)
+    s = jnp.sqrt(pe / pn2)
+    return p2r * s, p2i * s
+
+
 def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
                         consts, seed):
     """Full planned pipeline: [nB, ch, B] spectra -> [ch, nB, B] outputs
@@ -1142,7 +1154,26 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
     K = unroll
     carry_mc = ch > 2
 
+    def _pair_mode() -> bool:
+        """f32-pair cell math (real/imag planes) instead of complex64.
+
+        XLA's complex arithmetic on TPU materializes interleaved
+        real/imag pairs at fusion boundaries (the scan carry, the ys
+        emission), paying a de/re-interleave relayout every step; keeping
+        the whole sweep in f32 planes avoids it.  The pair ops mirror the
+        complex lowering exactly (mulr = ar*br - ai*bi, ...), with the
+        same operand/addition order; CPU keeps the complex path so probe
+        bit-parity is measured against one canonical lowering, and the
+        pair/complex equivalence is gated by tests/test_wavefront.py.
+        Override: SST_SWEEP_PAIR=0/1.
+        """
+        env = os.environ.get("SST_SWEEP_PAIR")
+        if env is not None and env.strip():
+            return env != "0"
+        return jax.default_backend() != "cpu"
+
     def batched_impl(inp: SweepInputs):
+        pair = _pair_mode()
         batch, nB, B = inp.a1.shape
         nBp = -(-nB // 128) * 128
         align = K * 128 // np.gcd(K, 128)
@@ -1209,10 +1240,98 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
                                pe=pe, pi=pi)
 
+        def unpack_pair(row):
+            """row [K, P, batch, rows] -> pair planes ((r, i) tuples);
+            IDENTICAL plane order to unpack (the xs build is shared)."""
+            i = [0]
+
+            def take():
+                v = row[:, i[0]]
+                i[0] += 1
+                return v
+
+            a1 = (take(), take())
+            a2 = (take(), take())
+            d1 = (take(), take())
+            d2 = (take(), take())
+            mc = take().astype(jnp.int32) if carry_mc else None
+            if pe_from_pi:
+                pi = tuple((take(), take()) for _ in range(ch))
+                pe = tuple(pr * pr + pq * pq for pr, pq in pi)
+            else:
+                pe = tuple(take() for _ in range(ch))
+                pi = tuple((take(), take()) for _ in range(ch))
+            return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
+                               pe=pe, pi=pi)
+
         def shift_k(x, inj):
             head = (jnp.zeros(x.shape[:-1] + (1,), x.dtype) if inj is None
                     else inj[..., None])
             return jnp.concatenate([head, x[..., :-1]], -1)
+
+        def cell_pair(ring_list, x, j, inj1, injl):
+            """cell on f32 pairs; ring_list[l][c] = (r, i).  Same operand
+            and addition order as the complex lowering, so values match
+            the complex cell to the fma-contraction level."""
+            if carry_mc:
+                mc = x.mc[j]
+                selp = lambda items: _sel(mc, items)  # noqa: E731
+                is_m = lambda c: mc == c              # noqa: E731
+            elif ch == 1:
+                selp = lambda items: items[0]         # noqa: E731
+                is_m = lambda c: None                 # noqa: E731
+            else:
+                mc1 = x.pe[1][j] > x.pe[0][j]         # argmax, first wins
+                selp = lambda items: jnp.where(mc1, items[1], items[0])  # noqa: E731
+                is_m = lambda c: mc1 if c == 1 else ~mc1  # noqa: E731
+            prev1 = ring_list[-1]
+            prevl = ring_list[0]
+            d1r, d1i = (selp([prev1[c][0] for c in range(ch)]),
+                        selp([prev1[c][1] for c in range(ch)]))
+            dlr, dli = (selp([prevl[c][0] for c in range(ch)]),
+                        selp([prevl[c][1] for c in range(ch)]))
+
+            def shifted(rows_c, inj, comp):
+                return [shift_k(rows_c[c][comp],
+                                None if inj is None else inj[c][comp])
+                        for c in range(ch)]
+
+            u1r = selp(shifted(prevl, inj1, 0))
+            u1i = selp(shifted(prevl, inj1, 1))
+            ulr = selp(shifted(prev1, injl, 0))
+            uli = selp(shifted(prev1, injl, 1))
+            xd1r, xd1i = x.d1[0][j], x.d1[1][j]
+            xd2r, xd2i = x.d2[0][j], x.d2[1][j]
+            xa1r, xa1i = x.a1[0][j], x.a1[1][j]
+            xa2r, xa2i = x.a2[0][j], x.a2[1][j]
+            phr = ((xd1r * d1r - xd1i * d1i)
+                   + (xd2r * dlr - xd2i * dli)
+                   + (xa1r * u1r - xa1i * u1i)
+                   + (xa2r * ulr - xa2i * uli))
+            phi = ((xd1r * d1i + xd1i * d1r)
+                   + (xd2r * dli + xd2i * dlr)
+                   + (xa1r * u1i + xa1i * u1r)
+                   + (xa2r * uli + xa2i * ulr))
+            pe_m = selp([x.pe[c][j] for c in range(ch)])
+            pim_r = selp([x.pi[c][0][j] for c in range(ch)])
+            pim_i = selp([x.pi[c][1][j] for c in range(ch)])
+            omr, omi = _make_output_pair(pe_m, pim_r, pim_i, phr, phi)
+            outs = []
+            for c in range(ch):
+                pir, pii = x.pi[c][0][j], x.pi[c][1][j]
+                # ct = pi_c * conj(pi_max); locked = makeOutput(out_main*ct)
+                ctr = pir * pim_r + pii * pim_i
+                cti = pii * pim_r - pir * pim_i
+                tr = omr * ctr - omi * cti
+                ti = omr * cti + omi * ctr
+                lr, li = _make_output_pair(x.pe[c][j], pir, pii, tr, ti)
+                m = is_m(c)
+                if m is None:
+                    outs.append((omr, omi))
+                else:
+                    outs.append((jnp.where(m, omr, lr),
+                                 jnp.where(m, omi, li)))
+            return outs
 
         def cell(ring_list, x, j, inj1, injl):
             """ring_list: newest-last python list of [ch][batch, rows]."""
@@ -1240,9 +1359,30 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return outs
 
         def run_group(xs, rows_n, inj):
-            """inj: [S, K, 2, ch, batch] complex lane-0 injections."""
+            """inj: [S, K, 2, ch, batch] complex lane-0 injections
+            (pair mode: [S, K, 2, ch, 2, batch] f32)."""
             def body(ring, xy):
                 row, ij = xy
+                if pair:
+                    x = unpack_pair(row)
+                    ring_list = [[(ring[l, c, 0], ring[l, c, 1])
+                                  for c in range(ch)]
+                                 for l in range(longv)]
+                    emitted = []
+                    for j in range(K):
+                        inj1 = [(ij[j, 0, c, 0], ij[j, 0, c, 1])
+                                for c in range(ch)]
+                        injl_ = [(ij[j, 1, c, 0], ij[j, 1, c, 1])
+                                 for c in range(ch)]
+                        outs = cell_pair(ring_list, x, j, inj1, injl_)
+                        ring_list = ring_list[1:] + [outs]
+                        emitted.append(jnp.stack(
+                            [jnp.stack(o, 0) for o in outs], 0))
+                    ring2 = jnp.stack(
+                        [jnp.stack([jnp.stack(o, 0) for o in r], 0)
+                         for r in ring_list], 0)
+                    # [K, ch, 2, batch, rows]
+                    return ring2, jnp.stack(emitted, axis=0)
                 x = unpack(row)
                 ring_list = [[ring[l, c] for c in range(ch)]
                              for l in range(longv)]
@@ -1256,24 +1396,48 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
                 return ring2, jnp.stack(emitted, axis=0)  # [K,ch,batch,rows]
 
-            ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
+            if pair:
+                ring0 = jnp.zeros((longv, ch, 2, batch, rows_n), jnp.float32)
+            else:
+                ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
             _, outs = jax.lax.scan(body, ring0, (xs, inj))
             return outs
 
+        nch = 2 * ch if pair else ch    # output "channel" planes per bin
+
         def unskew_group(outs, rows_n, D):
-            """[D, ch, batch, rows_n] -> [ch, batch, rows_n, bands]."""
-            skc = jnp.transpose(outs, (1, 2, 3, 0))     # [ch,batch,rows,D]
-            flat = skc.reshape(ch, batch, rows_n * D)
-            tail = jnp.zeros((ch, batch, rows_n * step), skc.dtype)
+            """[D, nch, batch, rows_n] -> [nch, batch, rows_n, bands]."""
+            skc = jnp.transpose(outs, (1, 2, 3, 0))     # [nch,batch,rows,D]
+            flat = skc.reshape(nch, batch, rows_n * D)
+            tail = jnp.zeros((nch, batch, rows_n * step), skc.dtype)
             view = jnp.concatenate([flat, tail], 2).reshape(
-                ch, batch, rows_n, D + step)
+                nch, batch, rows_n, D + step)
             return view[..., :bands]
 
         nG = nBp // GR
         D = -(-(B + (GR - 1) * step) // align) * align
 
-        if on_cpu:
+        skew_mode = os.environ.get("SST_SKEW") or ("merge" if on_cpu
+                                                   else "static")
+        if skew_mode == "merge":   # CPU default: plain memcpy pitch merge
             sk_all = jnp.stack([build_sk(g * GR, GR, D) for g in range(nG)])
+        elif skew_mode == "static":
+            # STATIC-offset skew: every row's diagonal placement r*step is a
+            # python int, so XLA compiles each pad as a compile-time
+            # lane-rotated copy.  The scan variant below places rows with a
+            # TRACED offset, forcing the generic dynamic-update path
+            # (~70 GB/s); static offsets run at copy bandwidth.
+            def group_rows(g):
+                frames = []
+                for r in range(GR):
+                    row = packed[:, :, g * GR + r]          # [batch, P, B]
+                    off = r * step
+                    frames.append(jnp.pad(
+                        row, ((0, 0), (0, 0), (off, D - off - B))))
+                return jnp.stack(frames, 0)                 # [GR,batch,P,D]
+
+            rows = jnp.stack([group_rows(g) for g in range(nG)])
+            sk_all = jnp.transpose(rows, (0, 4, 3, 2, 1))
         else:
             def skew_rows8(_, j):
                 blk = jax.lax.dynamic_slice(packed, (0, 0, j * 8, 0),
@@ -1297,21 +1461,26 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             # last row at bins t+1 and t+longv (zeros for group 0 — exactly
             # the zero head the monolithic shift_k used for row 0; out of
             # range -> 0, those vote coefficients are zero)
-            pl = jnp.moveaxis(prev_last, -1, 0)         # [B, ch, batch]
-            z = jnp.zeros((D + longv, ch, batch), pl.dtype)
+            pl = jnp.moveaxis(prev_last, -1, 0)         # [B, nch, batch]
+            z = jnp.zeros((D + longv, nch, batch), pl.dtype)
             plp = jax.lax.dynamic_update_slice(z, pl, (0, 0, 0))
             inj = jnp.stack([plp[1:D + 1], plp[longv:D + longv]],
-                            axis=1)                     # [D, 2, ch, batch]
-            inj = inj.reshape(D // K, K, 2, ch, batch)
+                            axis=1)                     # [D, 2, nch, batch]
+            if pair:   # [D, 2, ch, 2, batch]: nch index = c*2 + (re|im)
+                inj = inj.reshape(D, 2, ch, 2, batch)
+                inj = inj.reshape(D // K, K, 2, ch, 2, batch)
+            else:
+                inj = inj.reshape(D // K, K, 2, ch, batch)
             outs = run_group(xs_g, GR, inj)
-            outs = outs.reshape(D, ch, batch, GR)
-            og = unskew_group(outs, GR, D)              # [ch,batch,GR,bands]
+            outs = outs.reshape(D, nch, batch, GR)
+            og = unskew_group(outs, GR, D)             # [nch,batch,GR,bands]
             last = og[:, :, GR - 1]
             if bands < B:
                 last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
             return last[..., :B], og
 
-        carry0 = jnp.zeros((ch, batch, B), inp.a1.dtype)
+        carry0 = jnp.zeros((nch, batch, B),
+                           jnp.float32 if pair else inp.a1.dtype)
         if nG == 1:
             # monolithic: skip the group scan (a nested scan costs real
             # LLVM/XLA compile time for zero runtime benefit at nG=1)
@@ -1320,7 +1489,9 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         else:
             _, ogs = jax.lax.scan(group_body, carry0, xs_all)
         out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
-            ch, batch, nBp, bands)[:, :, :nB]
+            nch, batch, nBp, bands)[:, :, :nB]
+        if pair:
+            out = jax.lax.complex(out[0::2], out[1::2])
         # swap only the two major dims (minor layout untouched — cheap);
         # the engine consumes channels-major [ch, nB, B] downstream
         return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]

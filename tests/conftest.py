@@ -18,10 +18,29 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Per-platform cache dir: entries AOT-compiled through the axon remote helper
-# target different CPU features than this host (cpu_aot_loader warns about
-# SIGILL risk) — keep the CPU test cache isolated from any TPU-session writes.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+# Per-platform, per-machine cache dir: entries AOT-compiled through the axon
+# remote helper target different CPU features than this host (cpu_aot_loader
+# warns about SIGILL risk), and entries carried over from a DIFFERENT host
+# load with mismatched fma-contraction choices — one render served from the
+# old machine's cache while its twin compiles fresh breaks bit-equality
+# tests.  Key the dir by the host CPU flag set so a migrated workspace
+# starts a fresh cache instead of mixing machines.
+import hashlib  # noqa: E402
+
+
+def _machine_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "unknown"
+
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache_cpu_" + _machine_key())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -94,3 +94,82 @@ def test_sweep_row_group_tiling_matches_monolithic(monkeypatch):
         return np.stack([x.real, x.imag])
 
     assert rel_err_db(ri(tiled[:, 128:]), ri(mono[:, 128:])) < -85
+
+@pytest.mark.parametrize("ch", [1, 2, 3])
+def test_sweep_pair_mode_matches_complex(monkeypatch, ch):
+    """The f32-pair cell (SST_SWEEP_PAIR=1, the TPU default) mirrors the
+    complex64 cell's math with identical operand/addition order, but the
+    two are separate XLA programs: the compiler may contract the vote
+    multiply-adds into fmas differently (measured ~1 ulp seeds on CPU at
+    ch=1), which the phase recursion amplifies chaotically — the same
+    bound as the group-tiling test above.  A short 12-row recursion keeps
+    the amplification under -80 dB; real parity is enforced by the oracle
+    gates, which run whichever mode the backend selects.  ch=3 exercises
+    the carried-mc plane; ch<=2 the recomputed argmax."""
+    import jax
+    rng = np.random.default_rng(7)
+    nB, B = 12, 256
+    longv = 6
+
+    def c64(shape):
+        return (rng.standard_normal(shape) +
+                1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    pi = tuple(jnp.asarray(c64((nB, B))) for _ in range(ch))
+    pe = tuple(p.real ** 2 + p.imag ** 2 for p in pi)
+    mc = jnp.asarray(rng.integers(0, ch, (nB, B)).astype(np.int32))
+    inp = wavefront.SweepInputs(
+        a1=jnp.asarray(c64((nB, B))), a2=jnp.asarray(c64((nB, B))),
+        d1=jnp.asarray(c64((nB, B))), d2=jnp.asarray(c64((nB, B))),
+        mc=mc, pe=pe, pi=pi)
+
+    def run():
+        jax.clear_caches()
+        wavefront._sweep_unskew_fn.cache_clear()
+        fn = wavefront._sweep_unskew_fn(longv, ch, True, B, 8)
+        return np.asarray(jax.jit(fn)(inp))      # [ch, nB, B]
+
+    monkeypatch.setenv("SST_SWEEP_PAIR", "0")
+    ref = run()
+    monkeypatch.setenv("SST_SWEEP_PAIR", "1")
+    got = run()
+
+    def ri(x):
+        return np.stack([x.real, x.imag])
+
+    assert rel_err_db(ri(got), ri(ref)) < -80
+
+
+@pytest.mark.parametrize("mode", ["static", "scan"])
+def test_sweep_skew_modes_match_merge(monkeypatch, mode):
+    """The TPU skew builders (static pads / traced-offset row scan) must
+    place every row at the same group-local diagonal offset as the CPU
+    pitch-merge: pure data movement, so bit equality is exact."""
+    import jax
+    rng = np.random.default_rng(9)
+    ch, nB, B = 2, 140, 512
+    longv = 6
+
+    def c64(shape):
+        return (rng.standard_normal(shape) +
+                1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    pi = tuple(jnp.asarray(c64((nB, B))) for _ in range(ch))
+    pe = tuple(p.real ** 2 + p.imag ** 2 for p in pi)
+    inp = wavefront.SweepInputs(
+        a1=jnp.asarray(c64((nB, B))), a2=jnp.asarray(c64((nB, B))),
+        d1=jnp.asarray(c64((nB, B))), d2=jnp.asarray(c64((nB, B))),
+        mc=jnp.zeros((nB, B), jnp.int32), pe=pe, pi=pi)
+
+    def run():
+        jax.clear_caches()
+        wavefront._sweep_unskew_fn.cache_clear()
+        fn = wavefront._sweep_unskew_fn(longv, ch, True, B, 8)
+        return np.asarray(jax.jit(fn)(inp))
+
+    monkeypatch.setenv("SST_SWEEP_GROUP", "128")
+    monkeypatch.setenv("SST_SKEW", "merge")
+    ref = run()
+    monkeypatch.setenv("SST_SKEW", mode)
+    got = run()
+    np.testing.assert_array_equal(got, ref)
