@@ -1241,97 +1241,93 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                                pe=pe, pi=pi)
 
         def unpack_pair(row):
-            """row [K, P, batch, rows] -> pair planes ((r, i) tuples);
-            IDENTICAL plane order to unpack (the xs build is shared)."""
-            i = [0]
-
-            def take():
-                v = row[:, i[0]]
-                i[0] += 1
-                return v
-
-            a1 = (take(), take())
-            a2 = (take(), take())
-            d1 = (take(), take())
-            d2 = (take(), take())
-            mc = take().astype(jnp.int32) if carry_mc else None
+            """row [K, P, batch, rows] -> stacked f32 views (no copies):
+            V [K, 4, 2, b, r] vote coefficients (a1, a2, d1, d2), optional
+            mc [K, b, r], PE [K, ch, b, r], PI [K, ch, 2, b, r].  Same
+            plane order as unpack (the xs build is shared)."""
+            o = 8
+            V = row[:, :8].reshape(K, 4, 2, batch, -1)
+            mc = None
+            if carry_mc:
+                mc = row[:, o].astype(jnp.int32)
+                o += 1
             if pe_from_pi:
-                pi = tuple((take(), take()) for _ in range(ch))
-                pe = tuple(pr * pr + pq * pq for pr, pq in pi)
+                PI = row[:, o:o + 2 * ch].reshape(K, ch, 2, batch, -1)
+                PE = PI[:, :, 0] * PI[:, :, 0] + PI[:, :, 1] * PI[:, :, 1]
             else:
-                pe = tuple(take() for _ in range(ch))
-                pi = tuple((take(), take()) for _ in range(ch))
-            return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
-                               pe=pe, pi=pi)
+                PE = row[:, o:o + ch]
+                o += ch
+                PI = row[:, o:o + 2 * ch].reshape(K, ch, 2, batch, -1)
+            return V, mc, PE, PI
 
         def shift_k(x, inj):
             head = (jnp.zeros(x.shape[:-1] + (1,), x.dtype) if inj is None
                     else inj[..., None])
             return jnp.concatenate([head, x[..., :-1]], -1)
 
-        def cell_pair(ring_list, x, j, inj1, injl):
-            """cell on f32 pairs; ring_list[l][c] = (r, i).  Same operand
-            and addition order as the complex lowering, so values match
-            the complex cell to the fma-contraction level."""
-            if carry_mc:
-                mc = x.mc[j]
-                selp = lambda items: _sel(mc, items)  # noqa: E731
-                is_m = lambda c: mc == c              # noqa: E731
-            elif ch == 1:
-                selp = lambda items: items[0]         # noqa: E731
-                is_m = lambda c: None                 # noqa: E731
-            else:
-                mc1 = x.pe[1][j] > x.pe[0][j]         # argmax, first wins
-                selp = lambda items: jnp.where(mc1, items[1], items[0])  # noqa: E731
-                is_m = lambda c: mc1 if c == 1 else ~mc1  # noqa: E731
+        def cell_pair(ring_list, x, j, ij):
+            """cell on STACKED f32 planes; ring entries are [ch, 2, b, r]
+            arrays.  One shift-concat and a handful of channel selects per
+            cell (the per-plane formulation fragmented the scan body into
+            ~11 XLA fusions per cell — each a kernel with its own HBM
+            round trip).  Values match the complex cell to the
+            fma-contraction level (sum order of the four votes is the
+            only reassociation: a tree instead of sequential)."""
+            V, mcp, PE, PI = x
+            prevl = ring_list[0]                    # [ch, 2, b, r]
             prev1 = ring_list[-1]
-            prevl = ring_list[0]
-            d1r, d1i = (selp([prev1[c][0] for c in range(ch)]),
-                        selp([prev1[c][1] for c in range(ch)]))
-            dlr, dli = (selp([prevl[c][0] for c in range(ch)]),
-                        selp([prevl[c][1] for c in range(ch)]))
+            pe = PE[j]                              # [ch, b, r]
+            pi = PI[j]                              # [ch, 2, b, r]
+            if carry_mc:
+                mc = mcp[j]
 
-            def shifted(rows_c, inj, comp):
-                return [shift_k(rows_c[c][comp],
-                                None if inj is None else inj[c][comp])
-                        for c in range(ch)]
+                def sel(X, axis_ch=0):
+                    out = jnp.take(X, 0, axis_ch)
+                    for c in range(1, ch):
+                        out = jnp.where(mc == c, jnp.take(X, c, axis_ch),
+                                        out)
+                    return out
+            elif ch == 1:
+                def sel(X, axis_ch=0):
+                    return jnp.take(X, 0, axis_ch)
+            else:
+                mc1 = pe[1] > pe[0]                 # argmax, first wins
 
-            u1r = selp(shifted(prevl, inj1, 0))
-            u1i = selp(shifted(prevl, inj1, 1))
-            ulr = selp(shifted(prev1, injl, 0))
-            uli = selp(shifted(prev1, injl, 1))
-            xd1r, xd1i = x.d1[0][j], x.d1[1][j]
-            xd2r, xd2i = x.d2[0][j], x.d2[1][j]
-            xa1r, xa1i = x.a1[0][j], x.a1[1][j]
-            xa2r, xa2i = x.a2[0][j], x.a2[1][j]
-            phr = ((xd1r * d1r - xd1i * d1i)
-                   + (xd2r * dlr - xd2i * dli)
-                   + (xa1r * u1r - xa1i * u1i)
-                   + (xa2r * ulr - xa2i * uli))
-            phi = ((xd1r * d1i + xd1i * d1r)
-                   + (xd2r * dli + xd2i * dlr)
-                   + (xa1r * u1i + xa1i * u1r)
-                   + (xa2r * uli + xa2i * ulr))
-            pe_m = selp([x.pe[c][j] for c in range(ch)])
-            pim_r = selp([x.pi[c][0][j] for c in range(ch)])
-            pim_i = selp([x.pi[c][1][j] for c in range(ch)])
-            omr, omi = _make_output_pair(pe_m, pim_r, pim_i, phr, phi)
-            outs = []
-            for c in range(ch):
-                pir, pii = x.pi[c][0][j], x.pi[c][1][j]
-                # ct = pi_c * conj(pi_max); locked = makeOutput(out_main*ct)
-                ctr = pir * pim_r + pii * pim_i
-                cti = pii * pim_r - pir * pim_i
-                tr = omr * ctr - omi * cti
-                ti = omr * cti + omi * ctr
-                lr, li = _make_output_pair(x.pe[c][j], pir, pii, tr, ti)
-                m = is_m(c)
-                if m is None:
-                    outs.append((omr, omi))
-                else:
-                    outs.append((jnp.where(m, omr, lr),
-                                 jnp.where(m, omi, li)))
-            return outs
+                def sel(X, axis_ch=0):
+                    return jnp.where(mc1, jnp.take(X, 1, axis_ch),
+                                     jnp.take(X, 0, axis_ch))
+
+            both = jnp.stack([prevl, prev1])        # [2, ch, 2, b, r]
+            # lane-0 injection head + one shift for all planes at once
+            sh = jnp.concatenate([ij[j][..., None], both[..., :-1]], -1)
+            # votes (a1, a2, d1, d2) pair with (sh(prevl), sh(prev1),
+            # prev1, prevl); select the max channel of each
+            cat = jnp.stack([sh[0], sh[1], both[1], both[0]])
+            W = sel(cat, 1)                         # [4, 2, b, r]
+            Pr = V[j, :, 0] * W[:, 0] - V[j, :, 1] * W[:, 1]
+            Pi = V[j, :, 0] * W[:, 1] + V[j, :, 1] * W[:, 0]
+            phr = ((Pr[0] + Pr[1]) + Pr[2]) + Pr[3]
+            phi = ((Pi[0] + Pi[1]) + Pi[2]) + Pi[3]
+            pe_m = sel(pe)
+            pim = sel(pi)                           # [2, b, r]
+            omr, omi = _make_output_pair(pe_m, pim[0], pim[1], phr, phi)
+            om = jnp.stack([omr, omi])              # [2, b, r]
+            if ch == 1:
+                return om[None]
+            # locked channels, vectorized over ch:
+            # ct = pi_c * conj(pi_max); locked = makeOutput(out_main * ct)
+            ctr = pi[:, 0] * pim[0] + pi[:, 1] * pim[1]
+            cti = pi[:, 1] * pim[0] - pi[:, 0] * pim[1]
+            tr = omr * ctr - omi * cti
+            ti = omr * cti + omi * ctr
+            lr, li = _make_output_pair(pe, pi[:, 0], pi[:, 1], tr, ti)
+            lk = jnp.stack([lr, li], 1)             # [ch, 2, b, r]
+            if carry_mc:
+                mask = (jnp.arange(ch, dtype=jnp.int32)[:, None, None, None]
+                        == mc[None, None])          # [ch, 1, b, r]
+            else:
+                mask = jnp.stack([~mc1, mc1])[:, None]
+            return jnp.where(mask, om[None], lk)    # [ch, 2, b, r]
 
         def cell(ring_list, x, j, inj1, injl):
             """ring_list: newest-last python list of [ch][batch, rows]."""
@@ -1365,24 +1361,15 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 row, ij = xy
                 if pair:
                     x = unpack_pair(row)
-                    ring_list = [[(ring[l, c, 0], ring[l, c, 1])
-                                  for c in range(ch)]
-                                 for l in range(longv)]
+                    ring_list = [ring[l] for l in range(longv)]
                     emitted = []
                     for j in range(K):
-                        inj1 = [(ij[j, 0, c, 0], ij[j, 0, c, 1])
-                                for c in range(ch)]
-                        injl_ = [(ij[j, 1, c, 0], ij[j, 1, c, 1])
-                                 for c in range(ch)]
-                        outs = cell_pair(ring_list, x, j, inj1, injl_)
+                        outs = cell_pair(ring_list, x, j, ij)
                         ring_list = ring_list[1:] + [outs]
-                        emitted.append(jnp.stack(
-                            [jnp.stack(o, 0) for o in outs], 0))
-                    ring2 = jnp.stack(
-                        [jnp.stack([jnp.stack(o, 0) for o in r], 0)
-                         for r in ring_list], 0)
+                        emitted.append(outs)
+                    ring2 = jnp.stack(ring_list, 0)
                     # [K, ch, 2, batch, rows]
-                    return ring2, jnp.stack(emitted, axis=0)
+                    return ring2, jnp.stack(emitted, 0)
                 x = unpack(row)
                 ring_list = [[ring[l, c] for c in range(ch)]
                              for l in range(longv)]

@@ -1,5 +1,6 @@
 """STFT substrate properties: perfect reconstruction, half-bin layout."""
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from signalsmith_stretch_tpu import StretchConfig
@@ -46,3 +47,34 @@ def test_half_bin_frequencies():
     x = np.cos(2 * np.pi * freqs[b] * n).astype(np.float32)
     spec = np.asarray(stft.analyze(jnp.asarray(x)[None, None, :], basis))[0, 0]
     assert np.argmax(np.abs(spec)) == b
+
+
+@pytest.mark.parametrize("block,interval", [(5760, 1440), (4800, 1920),
+                                            (4410, 1764)])
+def test_matmul_dft_matches_fft(monkeypatch, block, interval):
+    """The MXU two-stage matmul DFT (TPU path, SST_FFT_MODE=matmul) must
+    match the jnp.fft reference path on both transforms, including the
+    stage-1/stage-2 column truncation that folds the fft zero-pad into the
+    contraction (block 5760 = 45*128 exactly; 4800 and 4410 need a partial
+    N2-multiple pad).  f32 matmul at HIGHEST precision carries ~1e-6
+    relative error vs the fft path."""
+    import jax
+    cfg = StretchConfig(2, block, interval)
+    basis = stft.StftBasis.for_config(cfg)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.standard_normal((5, 2, block)).astype(np.float32))
+    spec = jnp.asarray((rng.standard_normal((5, 2, basis.bands))
+                        + 1j * rng.standard_normal((5, 2, basis.bands))
+                        ).astype(np.complex64))
+
+    def run():
+        jax.clear_caches()
+        return (np.asarray(stft.analyze(frames, basis)),
+                np.asarray(stft.synthesize(spec, basis)))
+
+    monkeypatch.setenv("SST_FFT_MODE", "fft")
+    a_ref, y_ref = run()
+    monkeypatch.setenv("SST_FFT_MODE", "matmul")
+    a, y = run()
+    assert np.abs(a - a_ref).max() / np.abs(a_ref).max() < 3e-6
+    assert np.abs(y - y_ref).max() / np.abs(y_ref).max() < 3e-6
