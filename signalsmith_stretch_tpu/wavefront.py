@@ -1167,8 +1167,8 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         pair/complex equivalence is gated by tests/test_wavefront.py.
         Override: SST_SWEEP_PAIR=0/1.
         """
-        env = os.environ.get("SST_SWEEP_PAIR")
-        if env is not None and env.strip():
+        env = (os.environ.get("SST_SWEEP_PAIR") or "").strip()
+        if env:
             return env != "0"
         return jax.default_backend() != "cpu"
 
@@ -1406,6 +1406,9 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
 
         skew_mode = os.environ.get("SST_SKEW") or ("merge" if on_cpu
                                                    else "static")
+        if skew_mode not in ("merge", "static", "scan"):
+            raise ValueError("SST_SKEW must be one of merge/static/scan, got %r"
+                             % skew_mode)
         if skew_mode == "merge":   # CPU default: plain memcpy pitch merge
             sk_all = jnp.stack([build_sk(g * GR, GR, D) for g in range(nG)])
         elif skew_mode == "static":

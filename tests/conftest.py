@@ -29,14 +29,26 @@ import hashlib  # noqa: E402
 
 
 def _machine_key() -> str:
+    # /proc/cpuinfo flags alone do NOT discriminate enough: two hosts with
+    # the same CPU model (or AOT entries produced through the axon remote
+    # helper) can share flags while XLA picks different LLVM target features
+    # (+prefer-no-scatter/+prefer-no-gather) and fma contractions.  Fold in
+    # the jaxlib build too, so a relocated workspace or upgraded wheel never
+    # serves foreign executables into bit-equality tests.
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+                    parts.append(line)
+                    break
     except OSError:
         pass
-    return "unknown"
+    import jaxlib  # noqa: E402
+    parts.append(getattr(jaxlib, "__version__", "?"))
+    parts.append(jax.__version__)
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12] \
+        if parts else "unknown"
 
 
 jax.config.update("jax_compilation_cache_dir",
@@ -45,6 +57,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = os.path.join(REPO, "oracle", "oracle")
+
+# Build the native _sstio extension if it isn't importable yet, so
+# tests/test_components.py runs instead of silently skipping on a fresh
+# checkout (the wheel build does this too; here it's one g++ invocation).
+try:
+    import signalsmith_stretch_tpu._sstio  # noqa: F401
+except ImportError:
+    try:
+        subprocess.run(["make"], cwd=os.path.join(REPO, "native"),
+                       check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        pass   # no toolchain: the importorskip in test_components handles it
+
+
+@pytest.fixture()
+def fresh_compile_cache(tmp_path):
+    """Point the persistent compile cache at an empty per-test dir.
+
+    Bit-equality tests (e.g. SST_SILENCE=0 vs =1) must compare executables
+    compiled by THIS process on THIS machine: a persistent-cache entry
+    AOT-compiled elsewhere (axon remote helper, migrated workspace) can pair
+    a foreign-fma executable with a fresh local one and break bit equality.
+    The machine-keyed cache dir already guards the common cases; this fixture
+    removes the cache variable entirely for the tests where bitwise identity
+    is the assertion."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "cache"))
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
 
 
 @pytest.fixture(scope="session")

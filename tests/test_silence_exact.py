@@ -97,7 +97,8 @@ def test_subnoise_clip_main_bypass_passthrough(oracle_bin, tmp_path):
         assert rel_err_db(tail_o, tail_r) < -60
 
 
-def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path):
+def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path,
+                                           fresh_compile_cache):
     """exact() scans the WHOLE main segment: one loud region disables the
     bypass for the whole render, so output must equal the SST_SILENCE=0
     render bit-for-bit and track the oracle."""
@@ -126,7 +127,8 @@ def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path):
     assert rel_err_db(out[:, :cut], ref[:, :cut]) < gate
 
 
-def test_silent_clip_cond_short_circuit(oracle_bin, tmp_path):
+def test_silent_clip_cond_short_circuit(oracle_bin, tmp_path,
+                                        fresh_compile_cache):
     """The single-clip jitted path lax.cond-skips the whole pipeline for a
     fully-silent clip: output must be exactly zeros (like the oracle's) and
     equal the SST_SILENCE=0 full render bit for bit (zero spectra propagate

@@ -95,6 +95,47 @@ def test_sweep_row_group_tiling_matches_monolithic(monkeypatch):
 
     assert rel_err_db(ri(tiled[:, 128:]), ri(mono[:, 128:])) < -85
 
+def test_sweep_pair_mode_group_tiling(monkeypatch):
+    """Pair mode + row-group tiling together: nonzero cross-group injections
+    must flow through the pair-mode [D, 2, ch, 2, batch] inj reshape (the
+    plane-ordering path the monolithic pair test never exercises).  Same
+    gates as the complex tiling test: rows before the first group boundary
+    bit for bit, later rows to cross-program fma noise."""
+    import jax
+    rng = np.random.default_rng(11)
+    ch, nB, B = 2, 140, 512        # nBp=256 -> groups of 128, 12 live rows
+    longv = 6
+
+    def c64(shape):
+        return (rng.standard_normal(shape) +
+                1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    pi = tuple(jnp.asarray(c64((nB, B))) for _ in range(ch))
+    pe = tuple(p.real ** 2 + p.imag ** 2 for p in pi)
+    inp = wavefront.SweepInputs(
+        a1=jnp.asarray(c64((nB, B))), a2=jnp.asarray(c64((nB, B))),
+        d1=jnp.asarray(c64((nB, B))), d2=jnp.asarray(c64((nB, B))),
+        mc=jnp.zeros((nB, B), jnp.int32), pe=pe, pi=pi)
+
+    def run():
+        jax.clear_caches()
+        wavefront._sweep_unskew_fn.cache_clear()
+        fn = wavefront._sweep_unskew_fn(longv, ch, True, B, 8)
+        return np.asarray(jax.jit(fn)(inp))      # [ch, nB, B]
+
+    monkeypatch.setenv("SST_SWEEP_PAIR", "1")
+    monkeypatch.delenv("SST_SWEEP_GROUP", raising=False)
+    mono = run()
+    monkeypatch.setenv("SST_SWEEP_GROUP", "128")
+    tiled = run()
+    np.testing.assert_array_equal(tiled[:, :128], mono[:, :128])
+
+    def ri(x):
+        return np.stack([x.real, x.imag])
+
+    assert rel_err_db(ri(tiled[:, 128:]), ri(mono[:, 128:])) < -85
+
+
 @pytest.mark.parametrize("ch", [1, 2, 3])
 def test_sweep_pair_mode_matches_complex(monkeypatch, ch):
     """The f32-pair cell (SST_SWEEP_PAIR=1, the TPU default) mirrors the
