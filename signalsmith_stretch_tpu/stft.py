@@ -103,9 +103,48 @@ def _dft_mats(fft_samples: int):
     return N1, N2, c64(dft1), c64(tw), c64(dft2), c64(idft2), c64(itw), c64(idft1)
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_fused_mats(fft_samples: int):
+    """Twiddle-folded stage-2 tensors (computed in float64, cast to f32).
+
+    Forward: xr/xi = einsum("bkm,kmq->bqk", ar|ai, T1|T2) combinations with
+      T1 = twr*d2r - twi*d2i,  T2 = twr*d2i + twi*d2r        [K1, N2, K2]
+    Inverse: y = einsum("bkm,knm->bnm", cr, V1) - einsum(..., ci, V2) with
+      V1 = i1r*itr - i1i*iti,  V2 = i1r*iti + i1i*itr        [K1, N1, N2]
+    This removes the materialized br/bi (forward) and dr/di (inverse)
+    intermediates -- one full HBM round-trip of the [.., K1, N2] planes each
+    way; measured ~8 ms off the forward DFT at bench shapes
+    (tools/exp_dft_stages.py: fused-tw 61.9 vs +reshape 69.6 ms)."""
+    N = fft_samples
+    _, N2, dft1, tw, dft2, idft2, itw, idft1 = _dft_mats(N)
+    f32m = lambda m: np.ascontiguousarray(m.astype(np.float32))
+    T1 = f32m(tw.real[:, :, None] * dft2.real[None]
+              - tw.imag[:, :, None] * dft2.imag[None])       # [K1, N2, K2]
+    T2 = f32m(tw.real[:, :, None] * dft2.imag[None]
+              + tw.imag[:, :, None] * dft2.real[None])
+    # inverse: fold conj-twiddle itw into the k1-contraction idft1
+    V1 = f32m(idft1.real[:, :, None] * itw.real[:, None, :]
+              - idft1.imag[:, :, None] * itw.imag[:, None, :])
+    V2 = f32m(idft1.real[:, :, None] * itw.imag[:, None, :]
+              + idft1.imag[:, :, None] * itw.real[:, None, :])
+    return T1, T2, V1, V2
+
+
+def _dft_precision() -> str:
+    """MXU pass count for the DFT einsums (SST_DFT_PRECISION).
+
+    'highest' = 6-pass bf16 (closest to true f32), 'high' = 3-pass.
+    Measured (tools/exp_dft_precision.py, v5e): highest -141 dB forward
+    accuracy vs a float64 DFT, high -94 dB, default (1-pass bf16) -50 dB --
+    and ALL THREE run at the same wall time (the DFT einsums are
+    bandwidth-bound at these shapes, not MXU-pass-bound), so there is no
+    speed to buy: keep 'highest' and its -124 dB identity gate."""
+    return os.environ.get("SST_DFT_PRECISION", "highest")
+
+
 def _cedot(sub: str, ar, ai, br, bi):
     """Complex einsum (ar+i*ai) x (br+i*bi) at f32 MXU precision."""
-    dot = functools.partial(jnp.einsum, sub, precision="highest")
+    dot = functools.partial(jnp.einsum, sub, precision=_dft_precision())
     return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
 
 
@@ -127,23 +166,25 @@ def _matmul_dft(y: jnp.ndarray, basis: StftBasis):
     sub-128 buffer is the final [k2, k1] tile pair, merged immediately into
     the aligned [bands] layout (b = k1 + N1*k2).
     """
-    N1, N2, dft1, tw, dft2, _, _, _ = _dft_mats(basis.fft_samples)
+    N1, N2, dft1, _, _, _, _, _ = _dft_mats(basis.fft_samples)
+    T1, T2, _, _ = _dft_fused_mats(basis.fft_samples)
     shape = y.shape[:-1]
     M = y.shape[-1]
     assert M % N2 == 0 and M <= basis.fft_samples
     n1u = M // N2
     y = y.reshape(-1, n1u, N2)                   # n = n1*N2 + n2, minor 128
     # stage 1 (real input): contract n1 -> A[b, k1, n2]
-    dot = functools.partial(jnp.einsum, "kn,bnm->bkm", precision="highest")
+    dot = functools.partial(jnp.einsum, "kn,bnm->bkm",
+                            precision=_dft_precision())
     ar = dot(jnp.asarray(dft1.real[:, :n1u]), y)
     ai = dot(jnp.asarray(dft1.imag[:, :n1u]), y)
-    # twiddle (t2-folded)
-    twr, twi = jnp.asarray(tw.real), jnp.asarray(tw.imag)       # [K1, N2]
-    br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
-    # stage 2: contract n2 -> X[b, k2, k1]
-    d2r, d2i = jnp.asarray(dft2.real), jnp.asarray(dft2.imag)   # [N2, K2]
-    xr, xi = _cedot("mq,bkm->bqk", d2r, d2i, br, bi)
+    # stage 2 with the twiddle folded into per-k1 matrices (see
+    # _dft_fused_mats): contract n2 -> X[b, k2, k1], no br/bi intermediates
+    dot2 = functools.partial(jnp.einsum, "bkm,kmq->bqk",
+                             precision=_dft_precision())
+    t1, t2 = jnp.asarray(T1), jnp.asarray(T2)
+    xr = dot2(ar, t1) - dot2(ai, t2)
+    xi = dot2(ar, t2) + dot2(ai, t1)
     xr = xr.reshape(shape + (basis.bands,))      # b = k1 + N1*k2
     xi = xi.reshape(shape + (basis.bands,))
     return xr, xi
@@ -158,7 +199,8 @@ def _matmul_idft(sr: jnp.ndarray, si: jnp.ndarray, basis: StftBasis,
     (the synthesis window discards the rest anyway): the idft1 columns
     beyond M/N2 are dropped, skipping ~30% of stage-2 output bytes at
     bench shapes.  Emitted values are bit-identical."""
-    N1, N2, _, _, _, idft2, itw, idft1 = _dft_mats(basis.fft_samples)
+    N1, N2, _, _, _, idft2, _, _ = _dft_mats(basis.fft_samples)
+    _, _, V1, V2 = _dft_fused_mats(basis.fft_samples)
     shape = sr.shape[:-1]
     K2 = N2 // 2
     n1u = N1 if not out_len else min(N1, -(-out_len // N2))
@@ -167,14 +209,13 @@ def _matmul_idft(sr: jnp.ndarray, si: jnp.ndarray, basis: StftBasis,
     # stage 1: contract k2 -> C[b, k1, n2] (minor 128)
     i2r, i2i = jnp.asarray(idft2.real), jnp.asarray(idft2.imag)  # [K2, N2]
     cr, ci = _cedot("qm,bqk->bkm", i2r, i2i, sr, si)
-    # twiddle (conj-t2 folded)
-    itr, iti = jnp.asarray(itw.real), jnp.asarray(itw.imag)      # [K1, N2]
-    dr = cr * itr - ci * iti
-    di = cr * iti + ci * itr
-    # stage 2 (real output): contract k1, merge n = n1*N2 + n2
-    dot = functools.partial(jnp.einsum, "kn,bkm->bnm", precision="highest")
-    y = (dot(jnp.asarray(idft1.real[:, :n1u]), dr)
-         - dot(jnp.asarray(idft1.imag[:, :n1u]), di))
+    # stage 2 with the conj-twiddle folded into the k1-contraction (see
+    # _dft_fused_mats): no dr/di intermediates; merge n = n1*N2 + n2
+    dot = functools.partial(jnp.einsum, "bkm,knm->bnm",
+                            precision=_dft_precision())
+    v1 = jnp.asarray(V1[:, :n1u])
+    v2 = jnp.asarray(V2[:, :n1u])
+    y = dot(cr, v1) - dot(ci, v2)
     return 2.0 * y.reshape(shape + (n1u * N2,))
 
 

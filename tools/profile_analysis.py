@@ -48,7 +48,7 @@ def main():
           "fft:", plan.basis.fft_samples, flush=True)
 
     def v(f):
-        return jax.jit(jax.vmap(f))
+        return jax.jit(lambda a: jnp.sum(jax.vmap(f)(a)))
 
     f_timeline = v(lambda a: jnp.sum(engine._build_timeline(a, plan)))
 
