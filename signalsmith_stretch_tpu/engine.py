@@ -266,15 +266,19 @@ def analyze_stage(audio: jnp.ndarray, plan: ExactPlan):
 
 def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
                    controls: spectral.Controls, flags: spectral.SpectralFlags,
-                   seed=0) -> jnp.ndarray:
-    """Stage 2 of exact(): the spectral kernel over all blocks -> [ch, nB, B]."""
+                   seed=0):
+    """Stage 2 of exact(): the spectral kernel over all blocks.
+
+    Returns (re, im) float32 planes, each [ch, nB, B] — the sweep computes
+    f32 pairs internally and the synthesis matmul iDFT consumes planes, so
+    complex64 is never materialized at this boundary on TPU."""
     mode = os.environ.get("SST_ENGINE", "wavefront")
     if mode == "wavefront":
         # batched precompute + diagonal sweep (wavefront.py); channels-major
         from . import wavefront
-        out_specs = wavefront.spectral_all_blocks(
+        return wavefront.spectral_all_blocks(
             spectra, prev_spectra, plan.arrays, controls, flags,
-            plan.consts, seed)                       # [ch, nB, B]
+            plan.consts, seed, pair_out=True)        # ([ch,nB,B], [ch,nB,B])
     else:
         # reference per-block scan (streaming-engine semantics)
         xs = spectral.BlockInputs(
@@ -292,7 +296,7 @@ def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
 
         _, out_specs = jax.lax.scan(step, carry0, xs)    # [nB, ch, B]
         out_specs = jnp.moveaxis(out_specs, 0, 1)        # [ch, nB, B]
-    return out_specs
+    return out_specs.real, out_specs.imag
 
 
 def _bypass_tail(blocks_t, spans, weight, w0: int, T: int, L: int, preroll):
@@ -312,15 +316,17 @@ def _bypass_tail(blocks_t, spans, weight, w0: int, T: int, L: int, preroll):
     return t[:, :T] - t[:, T:][:, ::-1]
 
 
-def synthesis_stage(out_specs: jnp.ndarray, plan: ExactPlan,
+def synthesis_stage(out_pair, plan: ExactPlan,
                     audio: jnp.ndarray = None) -> jnp.ndarray:
     """Stage 3 of exact(): inverse FFT + overlap-add + WOLA-normalized
     assembly (outputSeek pre-roll cancellation and flush-tail subtraction).
+    `out_pair` is the (re, im) plane pair from spectral_stage.
     With `audio` given, the silence bypass (:240-278) is applied: scalar
     selects between the normal assembly and passthrough/zeros with
     restricted-ring tails (see SilencePlan)."""
     cfg, sch = plan.cfg, plan.sched
-    blocks_t = stft.synthesize(out_specs, plan.basis)    # [ch, nB, block]
+    blocks_t = stft.synthesize_pair(out_pair[0], out_pair[1],
+                                    plan.basis)          # [ch, nB, block]
     ring = _overlap_add(blocks_t, plan.arrays["out_pos"], sch.ring_len,
                         cfg.block_samples, cfg.interval_samples)
 

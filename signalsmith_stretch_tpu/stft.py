@@ -241,6 +241,21 @@ def analyze(frames: jnp.ndarray, basis: StftBasis) -> jnp.ndarray:
     return spec[..., :basis.bands].astype(jnp.complex64)
 
 
+def synthesize_pair(sr: jnp.ndarray, si: jnp.ndarray,
+                    basis: StftBasis) -> jnp.ndarray:
+    """`synthesize` on separate re/im float32 planes.
+
+    The TPU sweep computes its outputs as f32 plane pairs; consuming them
+    directly avoids the interleaved-complex64 materialization at the
+    sweep->synthesis fusion boundary AND the strided .real/.imag extraction
+    inside the matmul iDFT (~2.3x on the synthesis FFT at bench shapes)."""
+    if _fft_mode() == "matmul":
+        y = _matmul_idft(sr, si, basis, out_len=basis.block_samples)
+        y = y[..., :basis.block_samples]
+        return (y * jnp.asarray(basis.window)).astype(jnp.float32)
+    return synthesize(jax.lax.complex(sr, si), basis)
+
+
 def synthesize(spectra: jnp.ndarray, basis: StftBasis) -> jnp.ndarray:
     """Inverse modified FFT + synthesis window.  [..., bands] -> [..., block].
 

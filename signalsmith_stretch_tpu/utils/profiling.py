@@ -96,8 +96,8 @@ def stage_fns(model) -> Dict[str, Callable]:
 
     def sweep_cum(a, seed):
         s, p = engine.analyze_stage(a, plan)
-        out = engine.spectral_stage(s, p, plan, controls, flags, seed)
-        return jnp.sum(jnp.abs(out.real)) + jnp.sum(jnp.abs(out.imag))
+        sr, si = engine.spectral_stage(s, p, plan, controls, flags, seed)
+        return jnp.sum(jnp.abs(sr)) + jnp.sum(jnp.abs(si))
 
     def ana_synth(a, seed):
         s, p = engine.analyze_stage(a, plan)

@@ -1074,10 +1074,13 @@ def _make_output_pair(pe, pir, pii, phr, phi):
 
 
 def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
-                        consts, seed):
+                        consts, seed, pair_out: bool = False):
     """Full planned pipeline: [nB, ch, B] spectra -> [ch, nB, B] outputs
     (channels-major: the synthesis/OLA stages consume that layout with no
-    relayout)."""
+    relayout).  With pair_out=True returns (re, im) f32 planes instead of
+    complex64 — the sweep computes f32 pairs internally, so this skips the
+    interleaved-c64 materialization at the stage boundary (the synthesis
+    matmul iDFT consumes the planes directly)."""
     inputs = plan_spectral(spectra, prev_spectra, arrays, controls, flags,
                            consts, seed)
     longv = consts.long_vertical_step
@@ -1100,13 +1103,14 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
         # interp's padded planes to an n-minor layout whose lane padding
         # needs ~18 GB at mapped bench shapes (values are unchanged)
         inputs = jax.lax.optimization_barrier(inputs)
-    fn = _sweep_unskew_fn(longv, ch, pe_from_pi, consts.bands, unroll)
+    fn = _sweep_unskew_fn(longv, ch, pe_from_pi, consts.bands, unroll,
+                          pair_out)
     return fn(inputs)                              # [ch, nB, B]
 
 
 @functools.lru_cache(maxsize=None)
 def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
-                     unroll: int = 32):
+                     unroll: int = 32, pair_out: bool = False):
     """custom_vmap'd (sweep + unskew): per-clip signature
     SweepInputs([nB, B] leaves) -> [nB, ch, bands], with the batched rule
     running one explicitly batched program whose layouts are chosen by hand.
@@ -1480,15 +1484,20 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             _, ogs = jax.lax.scan(group_body, carry0, xs_all)
         out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
             nch, batch, nBp, bands)[:, :, :nB]
-        if pair:
-            out = jax.lax.complex(out[0::2], out[1::2])
         # swap only the two major dims (minor layout untouched — cheap);
         # the engine consumes channels-major [ch, nB, B] downstream
+        if pair_out:
+            re, im = (out[0::2], out[1::2]) if pair else (out.real, out.imag)
+            return (jnp.transpose(re, (1, 0, 2, 3)),
+                    jnp.transpose(im, (1, 0, 2, 3)))
+        if pair:
+            out = jax.lax.complex(out[0::2], out[1::2])
         return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]
 
     @custom_batching.custom_vmap
     def fn(inp):
-        return batched_impl(jax.tree_util.tree_map(lambda x: x[None], inp))[0]
+        out = batched_impl(jax.tree_util.tree_map(lambda x: x[None], inp))
+        return jax.tree_util.tree_map(lambda v: v[0], out)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, inp):
@@ -1497,6 +1506,7 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             lambda x, b: x if b else jnp.broadcast_to(
                 x[None], (axis_size,) + x.shape),
             inp, ib)
-        return batched_impl(inp), True
+        out = batched_impl(inp)
+        return out, jax.tree_util.tree_map(lambda _: True, out)
 
     return fn
