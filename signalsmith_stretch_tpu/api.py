@@ -39,8 +39,14 @@ f32 = np.float32
 
 
 class SignalsmithStretch:
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, random_engine: Optional[Callable] = None):
+        """`seed` mirrors the reference's seed ctor (signalsmith-stretch.h:39);
+        `random_engine` mirrors its `RandomEngine` template parameter
+        (:34-39, 610-616): a callable (key, shape, minval, maxval) -> float32
+        draws, consumed only for the randomized binTimeFactors of >2x stretch.
+        None = jax.random.uniform (seeded threefry)."""
         self._seed = seed
+        self._random_engine = random_engine
         self._cfg: Optional[StretchConfig] = None
         self._freq_multiplier = f32(1)
         self._freq_tonality_limit = f32(0.5)
@@ -144,6 +150,7 @@ class SignalsmithStretch:
                              formant_compensation=self._formant_compensation,
                              custom_map=self._custom_map,
                              formant_auto=float(self._formant_base_freq) <= 0,
+                             random_engine=self._random_engine,
                              inv_grad_bound=inv_grad_bound_for(
                                  float(self._freq_multiplier),
                                  float(self._formant_multiplier),
@@ -280,6 +287,7 @@ class SignalsmithStretch:
                               formant_compensation=self._formant_compensation,
                               custom_map=self._custom_map,
                               formant_auto=bool((fbase <= 0).any()),
+                              random_engine=self._random_engine,
                               # worst case over the automated range: the
                               # mapped slope peaks at mult.min(), the
                               # compensated formant slope at mult.max().

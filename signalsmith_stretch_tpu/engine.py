@@ -317,13 +317,15 @@ def _bypass_tail(blocks_t, spans, weight, w0: int, T: int, L: int, preroll):
 
 
 def synthesis_stage(out_pair, plan: ExactPlan,
-                    audio: jnp.ndarray = None) -> jnp.ndarray:
+                    audio: jnp.ndarray = None,
+                    silence_on=None) -> jnp.ndarray:
     """Stage 3 of exact(): inverse FFT + overlap-add + WOLA-normalized
     assembly (outputSeek pre-roll cancellation and flush-tail subtraction).
     `out_pair` is the (re, im) plane pair from spectral_stage.
     With `audio` given, the silence bypass (:240-278) is applied: scalar
     selects between the normal assembly and passthrough/zeros with
-    restricted-ring tails (see SilencePlan)."""
+    restricted-ring tails (see SilencePlan).  `silence_on` optionally
+    supplies the bypass enable as a TRACED argument (see the note below)."""
     cfg, sch = plan.cfg, plan.sched
     blocks_t = stft.synthesize_pair(out_pair[0], out_pair[1],
                                     plan.basis)          # [ch, nB, block]
@@ -345,8 +347,22 @@ def synthesis_stage(out_pair, plan: ExactPlan,
     tail = tail_a - tail_b[:, ::-1]
 
     sil = plan.silence
-    if (audio is not None and sil is not None and sil.possible
-            and os.environ.get("SST_SILENCE", "1") != "0"):
+    if audio is not None and sil is not None and sil.possible:
+        # SST_SILENCE=0 disables the bypass but MUST NOT change the compiled
+        # program: removing the select region (or even flipping an embedded
+        # literal — measured: XLA CPU's contraction choices vary with
+        # unrelated earlier compiles in the same process) perturbs the
+        # *shared* math at the 1e-5 level and breaks the bit-equality
+        # contract between the on/off renders (tests/test_silence_exact.py).
+        # The only airtight form is ONE executable with the enable as DATA:
+        # jitted_render passes it as a traced argument; direct callers that
+        # don't thread it (batched bench paths) fall back to a trace-time
+        # literal behind an optimization barrier.
+        if silence_on is not None:
+            enabled = silence_on
+        else:
+            enabled = jax.lax.optimization_barrier(
+                jnp.bool_(os.environ.get("SST_SILENCE", "1") != "0"))
         # total-energy scans (:231-238); f32 sums — the C++ accumulates in
         # sequential order, so inputs within ~1 ulp of noiseFloor may branch
         # differently (documented in docs/PARITY.md)
@@ -359,14 +375,14 @@ def synthesis_stage(out_pair, plan: ExactPlan,
         pre_silent = seg_energy(sch.seek_samples, sch.surplus) < nf
         main_silent = seg_energy(sch.seek_length, sch.main_in) < nf
 
-        main_b = (main_silent & pre_silent) if sil.main_possible \
+        main_b = (main_silent & pre_silent & enabled) if sil.main_possible \
             else jnp.bool_(False)
         # counter at flush time: surplus (if pre silent) + main_in
         fp, fa = sil.flush_possible_pre, sil.flush_possible_alone
         if fp == fa:
-            flush_b = main_silent & jnp.bool_(fp)
+            flush_b = main_silent & jnp.bool_(fp) & enabled
         else:   # only reachable when the pre-roll was silent too (fp, not fa)
-            flush_b = main_silent & pre_silent & jnp.bool_(fp)
+            flush_b = main_silent & pre_silent & jnp.bool_(fp) & enabled
 
         if sil.pass_idx is not None:
             passthrough = jnp.take(audio, jnp.asarray(sil.pass_idx), axis=1)
@@ -388,14 +404,15 @@ def synthesis_stage(out_pair, plan: ExactPlan,
 
 def render_exact(audio: jnp.ndarray, plan: ExactPlan,
                  controls: spectral.Controls, flags: spectral.SpectralFlags,
-                 seed: int = 0) -> jnp.ndarray:
+                 seed: int = 0, silence_on=None) -> jnp.ndarray:
     """audio [ch, in_samples] float32 -> [ch, out_samples] float32."""
     if not plan.sched.valid:
         return jnp.zeros((audio.shape[0], plan.sched.out_samples), jnp.float32)
     spectra, prev_spectra = analyze_stage(audio, plan)
     out_specs = spectral_stage(spectra, prev_spectra, plan, controls, flags,
                                seed)
-    return synthesis_stage(out_specs, plan, audio=audio)
+    return synthesis_stage(out_specs, plan, audio=audio,
+                           silence_on=silence_on)
 
 
 def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
@@ -419,20 +436,27 @@ def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
     """
 
     @jax.jit
-    def run(audio, controls, seed=0):
+    def run_impl(audio, controls, seed, silence_on):
         if not plan.sched.valid:
-            return render_exact(audio, plan, controls, flags, seed)
-        # applied regardless of SST_SILENCE (which gates only the traced
-        # region selects): the shortcut is exact on its own terms, and
-        # keeping one program shape preserves bit-equality between the
-        # SST_SILENCE=0/1 renders (different XLA programs contract fmas
-        # differently, which the chaotic recursion would amplify)
+            return render_exact(audio, plan, controls, flags, seed,
+                                silence_on)
+        # the cond shortcut is applied regardless of SST_SILENCE (which
+        # gates only the traced region selects): it is exact on its own
+        # terms (see the docstring)
         out_len = plan.sched.out_samples
         total = jnp.sum(audio.astype(jnp.float32) ** 2)
         return jax.lax.cond(
             total == jnp.float32(0),
             lambda a: jnp.zeros((a.shape[0], out_len), jnp.float32),
-            lambda a: render_exact(a, plan, controls, flags, seed),
+            lambda a: render_exact(a, plan, controls, flags, seed,
+                                   silence_on),
             audio)
+
+    def run(audio, controls, seed=0):
+        # the silence enable rides as a RUNTIME argument so SST_SILENCE=0/1
+        # run the SAME executable — XLA's fma contraction is not stable
+        # across even literal-only program changes (see synthesis_stage)
+        return run_impl(audio, controls, seed,
+                        np.bool_(os.environ.get("SST_SILENCE", "1") != "0"))
 
     return run

@@ -236,10 +236,76 @@ class StretchNode:
             self._since_update = 0.0
             self._update_cb(self._input_time)
 
+    # ---- batched quanta (one device dispatch per run) -----------------------
+    def process_quanta(self, n_quanta: int,
+                       live_input: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render `n_quanta` quanta, batching contiguous runs that share one
+        segment (same engine, same controls) into a single device dispatch
+        via StreamingStretch.process_many / process_many_live.
+
+        Semantically identical to n_quanta process_quantum() calls — the
+        history windows, re-seeks and state threading are the same; only the
+        dispatch granularity changes.  The ~26 ms round-trip that makes
+        quantum-by-quantum dispatch miss the 2.7 ms budget on this attachment
+        amortizes across the run (see tools/bench_realtime.py --batched)."""
+        n = self.quantum
+        sr = self.sample_rate
+        outs = []
+        q = 0
+        while q < n_quanta:
+            t = self._out_time + self.cfg.output_latency / sr
+            seg = self._segment_at(t)
+            # run length: quanta until the next segment boundary
+            run = n_quanta - q
+            for s in self._segments:
+                if s.output > t:
+                    run = min(run, max(1, int(math.ceil(
+                        (s.output - t) * sr / n))))
+                    break
+            if seg is None or not seg.active:
+                outs.append(np.zeros((self.channels, run * n), np.float32))
+                for _ in range(run):
+                    self._advance(n)
+            elif live_input is not None:
+                s0 = q * n
+                li = np.asarray(live_input[:, s0:s0 + run * n], np.float32)
+                if li.shape[1] < run * n:
+                    li = np.pad(li, ((0, 0), (0, run * n - li.shape[1])))
+                eng = self._engine_for(seg)
+                chunk = eng.process_many_live(
+                    li.reshape(self.channels, run, n).transpose(1, 0, 2), n)
+                outs.append(chunk.transpose(1, 0, 2).reshape(
+                    self.channels, run * n))
+                for _ in range(run):
+                    self._input_time = self._out_time
+                    self._advance(n)
+            else:
+                eng = self._engine_for(seg)
+                buf_len = self.cfg.input_latency + self.cfg.output_latency
+                hists = np.empty((run, self.channels, buf_len), np.float32)
+                for i in range(run):
+                    in_t = seg.input_at(t + i * n / sr)
+                    end = int(round(in_t * sr))
+                    hists[i] = self._read_store(end - buf_len, buf_len)
+                chunk = eng.process_many(
+                    hists, np.full(run, seg.rate, np.float32), n)
+                outs.append(chunk.transpose(1, 0, 2).reshape(
+                    self.channels, run * n))
+                for i in range(run):
+                    self._input_time = seg.input_at(
+                        self._out_time + self.cfg.output_latency / sr)
+                    self._advance(n)
+            q += run
+        return np.concatenate(outs, axis=1)
+
     def render(self, seconds: float,
-               live_input: Optional[np.ndarray] = None) -> np.ndarray:
-        """Drive whole quanta for `seconds` of output."""
+               live_input: Optional[np.ndarray] = None,
+               batched: bool = False) -> np.ndarray:
+        """Drive whole quanta for `seconds` of output.  With batched=True,
+        contiguous same-segment runs render in one dispatch each."""
         n_quanta = int(round(seconds * self.sample_rate / self.quantum))
+        if batched:
+            return self.process_quanta(n_quanta, live_input)
         outs = []
         for q in range(n_quanta):
             li = None

@@ -100,11 +100,26 @@ class SpectralFlags:
     # unbounded (custom maps): the window path is disabled and the exact
     # gather path is used.  Builders with concrete controls set max(1, 1/mult).
     inv_grad_bound: Optional[float] = None
+    # Pluggable RNG — the analogue of the reference's `RandomEngine` template
+    # parameter (signalsmith-stretch.h:34-39, 610-616): a callable
+    # (key, shape, minval, maxval) -> float32 draws.  None = jax.random.uniform
+    # with the default (threefry) implementation.  Consumed only for the
+    # randomized binTimeFactors of >2x stretch (:639-640, 749).
+    random_engine: Optional[Callable] = None
 
     def __hash__(self):
         return hash((self.mapped, self.process_formants,
                      self.formant_compensation, id(self.custom_map),
-                     self.formant_auto, self.inv_grad_bound))
+                     self.formant_auto, self.inv_grad_bound,
+                     id(self.random_engine)))
+
+
+def draw_uniform(flags: "SpectralFlags", key, shape, minval, maxval):
+    """Randomized-binTimeFactor draws through the pluggable engine."""
+    if flags.random_engine is not None:
+        return flags.random_engine(key, shape, minval, maxval)
+    return jax.random.uniform(key, shape, jnp.float32,
+                              minval=minval, maxval=maxval)
 
 
 def inv_grad_bound_for(freq_multiplier: float, formant_multiplier: float = 1.0,
@@ -426,7 +441,8 @@ def _make_output(energy, fallback_input, phase):
 
 
 def _main_prediction(inp, out_prelim, pred_energy, pred_input, input_bin,
-                     time_factor, rng, consts: SpectralConsts):
+                     time_factor, rng, consts: SpectralConsts,
+                     flags: SpectralFlags = None):
     """Sequential bin sweep with vectorized precomputation.
 
     inp:         [ch, B] complex input spectrum (unchanged by the sweep)
@@ -442,7 +458,11 @@ def _main_prediction(inp, out_prelim, pred_energy, pred_input, input_bin,
     tf = jnp.maximum(time_factor, f32(1.0 / MAX_CLEAN_STRETCH))
     random_tf = tf > f32(MAX_CLEAN_STRETCH)
     lo = f32(MAX_CLEAN_STRETCH) * 2 * random_tf.astype(jnp.float32) - tf
-    draws = jax.random.uniform(rng, (2, B), jnp.float32, minval=lo, maxval=tf)
+    if flags is not None and flags.random_engine is not None:
+        draws = draw_uniform(flags, rng, (2, B), lo, tf)
+    else:
+        draws = jax.random.uniform(rng, (2, B), jnp.float32,
+                                   minval=lo, maxval=tf)
     btf1 = jnp.where(random_tf, draws[0], tf)   # up-vote branch draw (:749)
     btf2 = jnp.where(random_tf, draws[1], tf)   # down-vote branch draw (:769)
 
@@ -626,7 +646,7 @@ def process_block(carry: SpectralCarry, xs: BlockInputs, controls: Controls,
     # --- main prediction (:722-803) ----------------------------------------
     rng, sub = jax.random.split(carry.rng)
     outputs = _main_prediction(inp, out_prelim, pred_energy, pred_input,
-                               input_bin, xs.time_factor, sub, consts)
+                               input_bin, xs.time_factor, sub, consts, flags)
 
     # --- prevInput <- input (:806-812) -------------------------------------
     prev_final = jnp.where(new, inp, prev_in)

@@ -357,6 +357,66 @@ class StreamingStretch:
         self.state = _flush_reset(self.state)
         return np.concatenate(parts, axis=1)
 
+    # ---- batched multi-quantum dispatch -------------------------------------
+    def process_many(self, histories, rates, n_out: int) -> np.ndarray:
+        """Render M quanta in ONE device dispatch (the worklet's constant
+        re-seek loop, web-wrapper.js:267-322, batched).
+
+        histories: [M, ch, hist_len] — per-quantum seek windows (the buffer
+        store history each re-seek would write); rates: [M] playback rates;
+        n_out: output samples per quantum.  Equivalent to M sequential
+        (seek(hist, rate); process(zeros, n_out)) calls — the spectral carry
+        threads through the scan, so phase continuity across quanta is
+        preserved — but pays ONE dispatch round-trip (~26 ms on this
+        attachment) instead of 2M.  Returns [M, ch, n_out]."""
+        histories = jnp.asarray(histories, jnp.float32)
+        m, ch, hist_len = histories.shape
+        rates = jnp.broadcast_to(jnp.asarray(rates, jnp.float32), (m,))
+        key = ("many", hist_len, int(n_out))
+        fn = self._process_cache.get(key)
+        if fn is None:
+            cfg, consts, basis = self.cfg, self.consts, self.basis
+            flags = self.flags
+            zeros_in = jnp.zeros((cfg.channels, 0), jnp.float32)
+
+            @jax.jit
+            def fn(state, hists, rs, controls):
+                def body(st, x):
+                    h, r = x
+                    st = _seek_impl(st, h, r, cfg, basis)
+                    st, out = _process_impl(st, zeros_in, n_out, controls,
+                                            flags, cfg, consts, basis)
+                    return st, out
+
+                return jax.lax.scan(body, state, (hists, rs))
+
+            self._process_cache[key] = fn
+        self.state, outs = fn(self.state, histories, rates, self.controls)
+        return np.asarray(outs)
+
+    def process_many_live(self, inputs, n_out: int) -> np.ndarray:
+        """M live-input quanta in one dispatch: inputs [M, ch, n] -> outputs
+        [M, ch, n_out] (the wrapper's live mode, web-wrapper.js:255-266)."""
+        inputs = jnp.asarray(inputs, jnp.float32)
+        m, ch, n_in = inputs.shape
+        key = ("many_live", n_in, int(n_out))
+        fn = self._process_cache.get(key)
+        if fn is None:
+            cfg, consts, basis = self.cfg, self.consts, self.basis
+            flags = self.flags
+
+            @jax.jit
+            def fn(state, xs, controls):
+                def body(st, x):
+                    return _process_impl(st, x, n_out, controls, flags, cfg,
+                                         consts, basis)
+
+                return jax.lax.scan(body, state, xs)
+
+            self._process_cache[key] = fn
+        self.state, outs = fn(self.state, inputs, self.controls)
+        return np.asarray(outs)
+
     # ---- state checkpointing ----------------------------------------------
     def state_dict(self) -> dict:
         return jax.tree_util.tree_map(np.asarray, self.state)._asdict()

@@ -904,9 +904,9 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         random_tf = jnp.asarray(tf > f32(MAX_CLEAN_STRETCH))
         lo_d = f32(MAX_CLEAN_STRETCH) * 2 * random_tf.astype(jnp.float32) - tf_j
         key = jax.random.PRNGKey(seed)
-        draws = jax.random.uniform(key, (2, nB, B), jnp.float32,
-                                   minval=lo_d[None, :, None],
-                                   maxval=tf_j[None, :, None])
+        draws = spectral.draw_uniform(flags, key, (2, nB, B),
+                                      lo_d[None, :, None],
+                                      tf_j[None, :, None])
         btf1 = jnp.where(random_tf[:, None], draws[0], tf_j[:, None])
         btf2 = jnp.where(random_tf[:, None], draws[1], tf_j[:, None])
     else:
@@ -1358,11 +1358,37 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 outs.append(jnp.where(mc == c, out_main, locked))
             return outs
 
-        def run_group(xs, rows_n, inj):
+        nch = 2 * ch if pair else ch    # output "channel" planes per bin
+
+        # Emission strategy (SST_SWEEP_EMIT): the scan's stacked-ys output is
+        # [D, nch, batch, GR] (diagonal-major); the downstream stages need
+        # bands-MINOR, and the global (1,2,3,0) transpose moving D to the
+        # minor dim measured ~50 ms at bench shapes (tools/exp_sweep_pieces:
+        # it is the single most expensive piece of the sweep).  "dus" emits
+        # each step's [K] diagonal window straight into a [nch, batch, GR, D]
+        # scan-carry buffer via lane-offset dynamic_update_slice (in-place:
+        # the carry aliases through the while loop), so the unskew becomes a
+        # free reshape-view.  Values are bit-identical — pure data movement.
+        # CPU keeps "scan": LLVM compiles the windowed DUS loop poorly and
+        # the transpose is cheap there.
+        emit_mode = os.environ.get("SST_SWEEP_EMIT") or ("scan" if on_cpu
+                                                         else "dus")
+        if emit_mode not in ("scan", "dus"):
+            raise ValueError("SST_SWEEP_EMIT must be scan or dus, got %r"
+                             % emit_mode)
+
+        def run_group(xs, rows_n, inj, D):
             """inj: [S, K, 2, ch, batch] complex lane-0 injections
-            (pair mode: [S, K, 2, ch, 2, batch] f32)."""
-            def body(ring, xy):
-                row, ij = xy
+            (pair mode: [S, K, 2, ch, 2, batch] f32).
+            Returns [nch, batch, rows_n, D] (dus) or [D, ...] ys (scan)."""
+            dus = emit_mode == "dus"
+
+            def body(carry, xy):
+                ring, buf = carry if dus else (carry, None)
+                if dus:
+                    row, ij, joff = xy
+                else:
+                    row, ij = xy
                 if pair:
                     x = unpack_pair(row)
                     ring_list = [ring[l] for l in range(longv)]
@@ -1372,33 +1398,43 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                         ring_list = ring_list[1:] + [outs]
                         emitted.append(outs)
                     ring2 = jnp.stack(ring_list, 0)
-                    # [K, ch, 2, batch, rows]
-                    return ring2, jnp.stack(emitted, 0)
-                x = unpack(row)
-                ring_list = [[ring[l, c] for c in range(ch)]
-                             for l in range(longv)]
-                emitted = []
-                for j in range(K):
-                    inj1 = [ij[j, 0, c] for c in range(ch)]
-                    injl_ = [ij[j, 1, c] for c in range(ch)]
-                    outs = cell(ring_list, x, j, inj1, injl_)
-                    ring_list = ring_list[1:] + [outs]
-                    emitted.append(jnp.stack(outs, axis=0))
-                ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
-                return ring2, jnp.stack(emitted, axis=0)  # [K,ch,batch,rows]
+                    em = jnp.stack(emitted, 0)      # [K, ch, 2, batch, rows]
+                    em_f = em.reshape(K, nch, batch, rows_n)
+                else:
+                    x = unpack(row)
+                    ring_list = [[ring[l, c] for c in range(ch)]
+                                 for l in range(longv)]
+                    emitted = []
+                    for j in range(K):
+                        inj1 = [ij[j, 0, c] for c in range(ch)]
+                        injl_ = [ij[j, 1, c] for c in range(ch)]
+                        outs = cell(ring_list, x, j, inj1, injl_)
+                        ring_list = ring_list[1:] + [outs]
+                        emitted.append(jnp.stack(outs, axis=0))
+                    ring2 = jnp.stack([jnp.stack(r, 0) for r in ring_list], 0)
+                    em_f = jnp.stack(emitted, axis=0)  # [K, ch, batch, rows]
+                if not dus:
+                    return ring2, em_f
+                win = jnp.transpose(em_f, (1, 2, 3, 0))  # [nch,b,rows,K]
+                buf2 = jax.lax.dynamic_update_slice(buf, win, (0, 0, 0, joff))
+                return (ring2, buf2), None
 
             if pair:
                 ring0 = jnp.zeros((longv, ch, 2, batch, rows_n), jnp.float32)
             else:
                 ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
+            if dus:
+                buf0 = jnp.zeros((nch, batch, rows_n, D),
+                                 jnp.float32 if pair else inp.a1.dtype)
+                offs = jnp.arange(D // K, dtype=jnp.int32) * K
+                (_, buf), _ = jax.lax.scan(body, (ring0, buf0),
+                                           (xs, inj, offs))
+                return buf
             _, outs = jax.lax.scan(body, ring0, (xs, inj))
             return outs
 
-        nch = 2 * ch if pair else ch    # output "channel" planes per bin
-
-        def unskew_group(outs, rows_n, D):
-            """[D, nch, batch, rows_n] -> [nch, batch, rows_n, bands]."""
-            skc = jnp.transpose(outs, (1, 2, 3, 0))     # [nch,batch,rows,D]
+        def unskew_group(skc, rows_n, D):
+            """[nch, batch, rows_n, D] -> [nch, batch, rows_n, bands]."""
             flat = skc.reshape(nch, batch, rows_n * D)
             tail = jnp.zeros((nch, batch, rows_n * step), skc.dtype)
             view = jnp.concatenate([flat, tail], 2).reshape(
@@ -1465,8 +1501,10 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 inj = inj.reshape(D // K, K, 2, ch, 2, batch)
             else:
                 inj = inj.reshape(D // K, K, 2, ch, batch)
-            outs = run_group(xs_g, GR, inj)
-            outs = outs.reshape(D, nch, batch, GR)
+            outs = run_group(xs_g, GR, inj, D)
+            if emit_mode == "scan":
+                outs = jnp.transpose(outs.reshape(D, nch, batch, GR),
+                                     (1, 2, 3, 0))     # [nch,batch,GR,D]
             og = unskew_group(outs, GR, D)             # [nch,batch,GR,bands]
             last = og[:, :, GR - 1]
             if bands < B:

@@ -37,11 +37,18 @@ from .scheduler import StretchNode
 class WorkletHost:
     def __init__(self, sample_rate: int, channels: int = 2,
                  quantum: int = 128, preset: str = "default",
-                 buffer_quanta: int = 8, seed: int = 0):
+                 buffer_quanta: int = 8, seed: int = 0,
+                 batch_quanta: int = 1):
+        """batch_quanta > 1 renders up to that many quanta per device
+        dispatch on the render thread (scheduler.process_quanta), amortizing
+        the fixed dispatch round-trip that a TPU-backed host cannot hide at
+        quantum granularity; the ring still hands out single quanta.  Size
+        buffer_quanta >= batch_quanta so a full batch fits the ring."""
         self._node = StretchNode(sample_rate, channels=channels,
                                  quantum=quantum, preset=preset, seed=seed)
         self.channels = channels
         self.quantum = quantum
+        self.batch_quanta = max(1, int(batch_quanta))
         self._cmds: "queue.Queue[tuple]" = queue.Queue()
         self._ring: "queue.Queue[np.ndarray]" = queue.Queue(
             maxsize=buffer_quanta)
@@ -62,13 +69,21 @@ class WorkletHost:
                 self._drain_cmds()
                 continue
             self._drain_cmds()
-            out = self._node.process_quantum()
-            while not self._stop.is_set():
-                try:
-                    self._ring.put(out, timeout=0.05)
+            if self.batch_quanta > 1:
+                out = self._node.process_quanta(self.batch_quanta)
+                quanta = [out[:, i * self.quantum:(i + 1) * self.quantum]
+                          for i in range(self.batch_quanta)]
+            else:
+                quanta = [self._node.process_quantum()]
+            for out in quanta:
+                while not self._stop.is_set():
+                    try:
+                        self._ring.put(out, timeout=0.05)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
                     break
-                except queue.Full:
-                    continue
 
     def _drain_cmds(self):
         # apply queued control messages between quanta (the RPC landing

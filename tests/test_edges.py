@@ -262,3 +262,59 @@ def test_three_channel_render_matches_oracle(tmp_path):
     e_in = float((sig ** 2).mean())
     e_out = float((out2 ** 2).mean())
     assert 0.2 * e_in < e_out < 5 * e_in
+
+
+def test_pluggable_random_engine(test_signal, fresh_compile_cache):
+    """The RandomEngine analogue (signalsmith-stretch.h:34-39, 610-616): a
+    custom engine changes the >2x-stretch randomized phases, the default is
+    reproducible from the seed (same executable), and sub-2x renders never
+    trace the engine.  Equality across SEPARATELY-compiled executables is
+    deliberately not asserted: XLA CPU fma contraction varies compile to
+    compile (~1e-5, chaos-amplified; docs/PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+    sig, rate = test_signal
+    sig = sig[:, :rate]
+    out_len = int(sig.shape[1] * 3.0)       # > maxCleanStretch: RNG active
+
+    def make(engine, seed=1):
+        s = sst.SignalsmithStretch(seed=seed, random_engine=engine)
+        s.preset_cheaper(1, rate, split_computation=False)
+        return s
+
+    def render(s, out_n=out_len):
+        out, ok = s.exact(sig, out_n)
+        assert ok
+        return np.asarray(out)
+
+    calls = []
+
+    def midpoint_engine(key, shape, minval, maxval):
+        # degenerate "RNG": every draw at the range midpoint
+        calls.append(shape)
+        mid = (jnp.asarray(minval, jnp.float32)
+               + jnp.asarray(maxval, jnp.float32)) * jnp.float32(0.5)
+        return jnp.broadcast_to(mid, shape).astype(jnp.float32)
+
+    s_def = make(None)
+    base = render(s_def)
+    assert np.array_equal(base, render(s_def))   # seeded determinism
+    custom = render(make(midpoint_engine))
+    assert len(calls) > 0                        # engine traced at 3x
+    assert np.isfinite(custom).all()
+    assert not np.array_equal(base, custom)      # draws actually differ
+    # alternate jax.random bit generator through the same hook
+    alt = render(make(lambda k, sh, lo, hi: jax.random.uniform(
+        jax.random.fold_in(k, 7), sh, jnp.float32, minval=lo, maxval=hi)))
+    assert not np.array_equal(base, alt)
+
+    # <= maxCleanStretch: binTimeFactors are deterministic and the engine is
+    # never traced (any_random is static); values agree to compile variance
+    calls.clear()
+    clean_n = int(sig.shape[1] * 1.25)
+    from conftest import rel_err_db
+    a = render(make(None), out_n=clean_n)
+    b = render(make(midpoint_engine), out_n=clean_n)
+    assert calls == []                           # engine unused below 2x
+    assert rel_err_db(b, a) < -60                # identical program, two
+    #                                              compiles: fma variance only

@@ -101,7 +101,14 @@ def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path,
                                            fresh_compile_cache):
     """exact() scans the WHOLE main segment: one loud region disables the
     bypass for the whole render, so output must equal the SST_SILENCE=0
-    render bit-for-bit and track the oracle."""
+    render bit-for-bit and track the oracle.
+
+    Both renders go through ONE engine instance: the silence enable is a
+    runtime argument of one compiled executable (engine.jitted_render), so
+    bit-equality is exact by construction.  Comparing across separately
+    compiled instances is NOT valid — XLA CPU's fma contraction varies
+    compile-to-compile even for identical programs (measured ~1e-5,
+    amplified by the phase recursion; docs/PARITY.md)."""
     rng = np.random.default_rng(13)
     t = np.arange(2 * RATE) / RATE
     sig = np.where(t < 1.0, 0.0,
@@ -109,15 +116,16 @@ def test_partial_silence_keeps_normal_path(oracle_bin, tmp_path,
                    + 0.01 * rng.standard_normal(t.size)).astype(np.float32)[None]
     out_len = int(sig.shape[1] * 1.25)
     ref = run_oracle(oracle_bin, str(tmp_path), sig, RATE, time_f=1.25)
-    out, _ = _render(sig, out_len)
+    out, s = _render(sig, out_len)
 
     import os
     os.environ["SST_SILENCE"] = "0"
     try:
-        out_off, _ = _render(sig, out_len)
+        out_off, ok = s.exact(sig, out_len)   # same instance: same executable
     finally:
         del os.environ["SST_SILENCE"]
-    np.testing.assert_array_equal(out, out_off)
+    assert ok
+    np.testing.assert_array_equal(out, np.asarray(out_off))
     # chaos-relative oracle gate (same recipe as test_corpus_stats), cut
     # clear of the RNG-divergent flush tail (docs/PARITY.md)
     cut = out.shape[1] - 4 * (800 + 320)
@@ -145,9 +153,9 @@ def test_silent_clip_cond_short_circuit(oracle_bin, tmp_path,
 
     os.environ["SST_SILENCE"] = "0"
     try:
-        s2 = SignalsmithStretch(seed=1)
-        s2.preset_cheaper(2, RATE, split_computation=False)
-        out_full, ok2 = s2.exact(sig, out_len)
+        # same instance: the silence enable is a runtime argument of the
+        # one compiled executable (see test_partial_silence note)
+        out_full, ok2 = s.exact(sig, out_len)
     finally:
         del os.environ["SST_SILENCE"]
     assert ok2

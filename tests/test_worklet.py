@@ -50,3 +50,47 @@ def test_worklet_control_between_quanta(test_signal):
         assert first.shape == (1, 8 * 128)
     finally:
         host.close()
+
+
+def test_batched_quanta_match_per_quantum(test_signal):
+    """process_quanta (one dispatch per same-segment run) must reproduce the
+    per-quantum loop: same history windows, re-seeks and carried state —
+    gated chaos-tight since the scan body and the per-call program may
+    contract fmas differently."""
+    from conftest import rel_err_db
+    sig, rate = test_signal
+
+    def run(batched):
+        node = StretchNode(rate, channels=1, quantum=128, preset="cheaper")
+        node.add_buffers(sig)
+        node.start(input=0.0, rate=1.25)
+        node.schedule(output=24 * 128 / rate, input=0.5, rate=0.8)
+        return node.render(48 * 128 / rate, batched=batched)
+
+    a = run(False)
+    b = run(True)
+    assert a.shape == b.shape
+    assert rel_err_db(b, a) < -60
+
+    # live-input mode
+    def run_live(batched):
+        node = StretchNode(rate, channels=1, quantum=128, preset="cheaper")
+        node.start(rate=1.0)
+        return node.render(16 * 128 / rate, live_input=sig, batched=batched)
+
+    la = run_live(False)
+    lb = run_live(True)
+    assert rel_err_db(lb, la) < -60
+
+    # batched worklet host hands out identical-shape quanta
+    host = WorkletHost(rate, channels=1, quantum=128, preset="cheaper",
+                       buffer_quanta=8, batch_quanta=4)
+    try:
+        host.add_buffers(sig)
+        host.start(input=0.0, rate=1.25, output=0.0)
+        host.resume()
+        got = host.read(16)
+    finally:
+        host.close()
+    assert got.shape == (1, 16 * 128)
+    assert np.isfinite(got).all()

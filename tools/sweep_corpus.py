@@ -34,9 +34,14 @@ from signalsmith_stretch_tpu.utils.evaluation import (
     KINDS, band_energies, envelope_db, synth_clip)
 
 # the reference's grid (cmd/Makefile:12-33): semitone sweep at time=1,
-# time sweep at semitones=0
+# time sweep at semitones=0; the dev target (:28-33) adds formant
+# permutations — formant-compensated transposes and plain formant shifts
 SEMITONE_CASES = [2, -2, 4, -4, 8, -8, 16, -16]
 TIME_CASES = [0.8, 1.2, 1.5, 2.0, 4.0]
+FORMANT_CASES = [  # (semitones, formant_semitones, formant_comp)
+    (4, 0.0, True), (-4, 0.0, True), (8, 0.0, True),
+    (0, 3.0, False), (0, -3.0, False), (5, 3.0, True),
+]
 
 # gate taxonomy (docs/PARITY.md): unmapped band energies are tight; mapped /
 # randomized renders reshuffle inter-harmonic leakage through the chaotic
@@ -101,8 +106,12 @@ def main():
     corpus = load_corpus(args)
     semis = [2, -2, 8, -8] if args.quick else SEMITONE_CASES
     times = [0.8, 1.2, 4.0] if args.quick else TIME_CASES
+    formants = ([(4, 0.0, True), (0, 3.0, False)] if args.quick
+                else FORMANT_CASES)
     cases = ([dict(time_f=1.0, semitones=float(s)) for s in semis]
-             + [dict(time_f=t, semitones=0.0) for t in times])
+             + [dict(time_f=t, semitones=0.0) for t in times]
+             + [dict(time_f=1.0, semitones=float(s), formant=float(f),
+                     formant_comp=fc) for s, f, fc in formants])
 
     tmp = tempfile.mkdtemp()
     rows = []
@@ -110,7 +119,9 @@ def main():
     t_start = time.time()
     for case in cases:
         tf, st = case["time_f"], case["semitones"]
-        mapped = st != 0.0
+        fsemi = case.get("formant", 0.0)
+        fcomp = case.get("formant_comp", False)
+        mapped = st != 0.0 or fsemi != 0.0
         randomized = tf > 2.0
         band_gate = (BAND_GATE_RANDOM if randomized
                      else BAND_GATE_MAPPED if mapped else BAND_GATE_UNMAPPED)
@@ -118,13 +129,16 @@ def main():
         for name, sig, rate in corpus:
             out_len = int(round(sig.shape[1] * tf))
             ref = run_oracle(args.oracle, tmp, sig, rate, time_f=tf,
-                             semitones=st, cheaper=True, split=False)
+                             semitones=st, cheaper=True, split=False,
+                             formant=fsemi, formant_comp=fcomp)
             s = SignalsmithStretch()
             # must match the oracle's (non-split) mode: split shifts block
             # output placement by one interval (see tests/test_corpus_stats)
             s.preset_cheaper(1, rate, split_computation=False)
-            if mapped:
+            if st != 0.0:
                 s.set_transpose_semitones(st)
+            if fsemi != 0.0 or fcomp:
+                s.set_formant_semitones(fsemi, compensate_pitch=fcomp)
             out, ok = s.exact(sig, out_len)
             out = np.asarray(out)
             checks = {}
@@ -138,12 +152,14 @@ def main():
                 if randomized:
                     ref2 = run_oracle(args.oracle, tmp, sig, rate, time_f=tf,
                                       semitones=st, cheaper=True, split=False,
+                                      formant=fsemi, formant_comp=fcomp,
                                       seed=2)
                 else:
                     pert = np.nextafter(
                         sig, np.float32(np.inf)).astype(np.float32)
                     ref2 = run_oracle(args.oracle, tmp, pert, rate, time_f=tf,
-                                      semitones=st, cheaper=True, split=False)
+                                      semitones=st, cheaper=True, split=False,
+                                      formant=fsemi, formant_comp=fcomp)
             if not ok or out.shape != ref.shape:
                 checks["shape"] = (False, "render failed")
             else:
@@ -179,9 +195,12 @@ def main():
             detail = " ".join(f"{k}:{d}{'' if v else ' FAIL'}"
                               for k, (v, d) in checks.items())
             rows.append(dict(clip=name, time=tf, semitones=st,
+                             formant=fsemi, formant_comp=fcomp,
                              ok=ok_all, detail=detail))
-            print(f"{'PASS' if ok_all else 'FAIL'}  t={tf:<4} st={st:<5} "
-                  f"{name:12s} {detail}", flush=True)
+            fdesc = f" f={fsemi:+.0f}{'c' if fcomp else ''}" if (
+                fsemi or fcomp) else ""
+            print(f"{'PASS' if ok_all else 'FAIL'}  t={tf:<4} st={st:<5}"
+                  f"{fdesc} {name:12s} {detail}", flush=True)
 
     n = len(rows)
     print(f"\n{n - failures}/{n} passed in {time.time() - t_start:.0f}s")
