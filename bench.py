@@ -93,12 +93,14 @@ def main():
 
     # BASELINE.json configs (mapped configs run at the full bench batch since
     # the windowed-interp layout fix: every matmul operand keeps a 128-
-    # multiple minor dim, so memory scales ~linearly with batch).
+    # multiple minor dim, so memory scales ~linearly with batch).  The quick
+    # (driver) run also measures the pitch+12 mapped config so mapped-path
+    # regressions stay visible round to round (VERDICT r2 #4).
     cfg_case("stereo48k_default_1.25x", 48000, 2, 1.25)
+    cfg_case("stereo48k_pitch+12_tonality8k", 48000, 2, 1.0,
+             semitones=12, tonality_hz=8000)
     if not quick:
         cfg_case("mono44k_cheaper_1.25x", 44100, 1, 1.25, cheaper=True)
-        cfg_case("stereo48k_pitch+12_tonality8k", 48000, 2, 1.0,
-                 semitones=12, tonality_hz=8000)
         cfg_case("formant_vocal_shift", 48000, 2, 1.0, semitones=5,
                  tonality_hz=8000, formant_semitones=3,
                  formant_compensation=True, formant_base_hz=220)
@@ -107,6 +109,7 @@ def main():
         cfg_case("split_streaming_parity", 48000, 2, 1.25, split=True)
 
     primary = results[0]
+    mapped = results[1]
     if not quick:  # keep the committed full report intact on quick runs
         report = dict(configs=results,
                       batch=batch, clip_seconds=seconds,
@@ -121,6 +124,8 @@ def main():
         "value": primary["realtime_factor"],
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(primary["realtime_factor"] / 2000.0, 3),
+        "mapped_metric": "realtime_factor_pitch+12_batch%d" % batch,
+        "mapped_value": mapped["realtime_factor"],
     }))
 
 

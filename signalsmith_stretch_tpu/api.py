@@ -228,7 +228,14 @@ class SignalsmithStretch:
         if fn is None:
             fn = engine.jitted_render(plan, flags)
             self._fn_cache[fn_key] = fn
-        out = fn(audio, controls, self._seed)
+        out, viol = fn(audio, controls, self._seed)
+        self.last_diagnostics = {"interp_violations": int(viol)}
+        if self.last_diagnostics["interp_violations"]:
+            import warnings
+            warnings.warn(
+                "render zeroed %d out-of-window interpolation taps — a "
+                "host-side capacity bound is wrong; output is suspect"
+                % self.last_diagnostics["interp_violations"])
         return np.asarray(out), True
 
     def block_output_times(self, plan_or_key) -> np.ndarray:

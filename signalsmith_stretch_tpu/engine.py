@@ -266,19 +266,23 @@ def analyze_stage(audio: jnp.ndarray, plan: ExactPlan):
 
 def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
                    controls: spectral.Controls, flags: spectral.SpectralFlags,
-                   seed=0):
+                   seed=0, with_diag: bool = False):
     """Stage 2 of exact(): the spectral kernel over all blocks.
 
     Returns (re, im) float32 planes, each [ch, nB, B] — the sweep computes
     f32 pairs internally and the synthesis matmul iDFT consumes planes, so
-    complex64 is never materialized at this boundary on TPU."""
+    complex64 is never materialized at this boundary on TPU.  With
+    with_diag=True returns (planes, violations) where violations counts
+    windowed-interp taps zeroed for falling outside their capacity windows
+    (always 0 unless a host bound is wrong; see wavefront.plan_spectral)."""
     mode = os.environ.get("SST_ENGINE", "wavefront")
     if mode == "wavefront":
         # batched precompute + diagonal sweep (wavefront.py); channels-major
         from . import wavefront
         return wavefront.spectral_all_blocks(
             spectra, prev_spectra, plan.arrays, controls, flags,
-            plan.consts, seed, pair_out=True)        # ([ch,nB,B], [ch,nB,B])
+            plan.consts, seed, pair_out=True,
+            with_diag=with_diag)                     # ([ch,nB,B], [ch,nB,B])
     else:
         # reference per-block scan (streaming-engine semantics)
         xs = spectral.BlockInputs(
@@ -296,7 +300,10 @@ def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
 
         _, out_specs = jax.lax.scan(step, carry0, xs)    # [nB, ch, B]
         out_specs = jnp.moveaxis(out_specs, 0, 1)        # [ch, nB, B]
-    return out_specs.real, out_specs.imag
+    pair = (out_specs.real, out_specs.imag)
+    if with_diag:   # the scan engine's gather paths have no capacity windows
+        return pair, jnp.int32(0)
+    return pair
 
 
 def _bypass_tail(blocks_t, spans, weight, w0: int, T: int, L: int, preroll):
@@ -404,15 +411,23 @@ def synthesis_stage(out_pair, plan: ExactPlan,
 
 def render_exact(audio: jnp.ndarray, plan: ExactPlan,
                  controls: spectral.Controls, flags: spectral.SpectralFlags,
-                 seed: int = 0, silence_on=None) -> jnp.ndarray:
-    """audio [ch, in_samples] float32 -> [ch, out_samples] float32."""
+                 seed: int = 0, silence_on=None,
+                 with_diag: bool = False) -> jnp.ndarray:
+    """audio [ch, in_samples] float32 -> [ch, out_samples] float32.
+
+    with_diag=True returns (audio_out, violations) — see spectral_stage."""
     if not plan.sched.valid:
-        return jnp.zeros((audio.shape[0], plan.sched.out_samples), jnp.float32)
+        out = jnp.zeros((audio.shape[0], plan.sched.out_samples), jnp.float32)
+        return (out, jnp.int32(0)) if with_diag else out
     spectra, prev_spectra = analyze_stage(audio, plan)
     out_specs = spectral_stage(spectra, prev_spectra, plan, controls, flags,
-                               seed)
-    return synthesis_stage(out_specs, plan, audio=audio,
-                           silence_on=silence_on)
+                               seed, with_diag=with_diag)
+    viol = None
+    if with_diag:
+        out_specs, viol = out_specs
+    out = synthesis_stage(out_specs, plan, audio=audio,
+                          silence_on=silence_on)
+    return (out, viol) if with_diag else out
 
 
 def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
@@ -439,7 +454,7 @@ def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
     def run_impl(audio, controls, seed, silence_on):
         if not plan.sched.valid:
             return render_exact(audio, plan, controls, flags, seed,
-                                silence_on)
+                                silence_on, with_diag=True)
         # the cond shortcut is applied regardless of SST_SILENCE (which
         # gates only the traced region selects): it is exact on its own
         # terms (see the docstring)
@@ -447,15 +462,19 @@ def jitted_render(plan: ExactPlan, flags: spectral.SpectralFlags):
         total = jnp.sum(audio.astype(jnp.float32) ** 2)
         return jax.lax.cond(
             total == jnp.float32(0),
-            lambda a: jnp.zeros((a.shape[0], out_len), jnp.float32),
+            lambda a: (jnp.zeros((a.shape[0], out_len), jnp.float32),
+                       jnp.int32(0)),
             lambda a: render_exact(a, plan, controls, flags, seed,
-                                   silence_on),
+                                   silence_on, with_diag=True),
             audio)
 
     def run(audio, controls, seed=0):
         # the silence enable rides as a RUNTIME argument so SST_SILENCE=0/1
         # run the SAME executable — XLA's fma contraction is not stable
         # across even literal-only program changes (see synthesis_stage)
+        # Returns (audio_out, violations): the interp-violation diagnostic
+        # rides along so api.exact can refuse to silently ship a render
+        # with zeroed out-of-window taps.
         return run_impl(audio, controls, seed,
                         np.bool_(os.environ.get("SST_SILENCE", "1") != "0"))
 

@@ -711,13 +711,22 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
                   arrays: dict, controls: spectral.Controls,
                   flags: spectral.SpectralFlags,
                   consts: spectral.SpectralConsts, seed,
-                  debug: bool = False) -> SweepInputs:
+                  debug: bool = False,
+                  with_violations: bool = False) -> SweepInputs:
     """spectra/prev_spectra [nB, ch, B] complex; arrays = schedule flags.
 
     With debug=True returns (SweepInputs, dict of per-block intermediates) so
     tests can compare the integrated planner's chains (energy, smoothing,
     output map, prediction energies) against the reference engine's internals
     as dumped by oracle/probe.cpp.
+
+    With with_violations=True returns (SweepInputs, violations) where
+    violations is a traced int32 count of windowed-interp / rank-table taps
+    that fell outside their host-derived capacity windows and were zeroed.
+    The host bounds are constructed so this is always 0; a nonzero count
+    means a bound bug silently corrupted taps, so the engine surfaces it as
+    a render diagnostic (VERDICT r2 hygiene: no silently-zeroed tap may
+    ship a wrong render unnoticed).
     """
     dbg = {}
     nB, ch, B = spectra.shape
@@ -1040,6 +1049,11 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     if debug:
         dbg["pe"] = jnp.stack(pe, axis=1)              # [nB, ch, B]
         return result, dbg
+    if with_violations:
+        total = finterp_violations
+        if interp is not None:
+            total = total + interp.violations
+        return result, total
     return result
 
 
@@ -1074,15 +1088,23 @@ def _make_output_pair(pe, pir, pii, phr, phi):
 
 
 def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
-                        consts, seed, pair_out: bool = False):
+                        consts, seed, pair_out: bool = False,
+                        with_diag: bool = False):
     """Full planned pipeline: [nB, ch, B] spectra -> [ch, nB, B] outputs
     (channels-major: the synthesis/OLA stages consume that layout with no
     relayout).  With pair_out=True returns (re, im) f32 planes instead of
     complex64 — the sweep computes f32 pairs internally, so this skips the
     interleaved-c64 materialization at the stage boundary (the synthesis
-    matmul iDFT consumes the planes directly)."""
-    inputs = plan_spectral(spectra, prev_spectra, arrays, controls, flags,
-                           consts, seed)
+    matmul iDFT consumes the planes directly).  With with_diag=True also
+    returns the planner's interp-violation count (see plan_spectral)."""
+    viol = None
+    if with_diag:
+        inputs, viol = plan_spectral(spectra, prev_spectra, arrays, controls,
+                                     flags, consts, seed,
+                                     with_violations=True)
+    else:
+        inputs = plan_spectral(spectra, prev_spectra, arrays, controls,
+                               flags, consts, seed)
     longv = consts.long_vertical_step
     step = longv + 1
     nB = inputs.a1.shape[0]
@@ -1105,7 +1127,10 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
         inputs = jax.lax.optimization_barrier(inputs)
     fn = _sweep_unskew_fn(longv, ch, pe_from_pi, consts.bands, unroll,
                           pair_out)
-    return fn(inputs)                              # [ch, nB, B]
+    out = fn(inputs)                               # [ch, nB, B]
+    if with_diag:
+        return out, viol
+    return out
 
 
 @functools.lru_cache(maxsize=None)
