@@ -22,6 +22,23 @@ import jax.numpy as jnp
 _COEF_CLAMP = 1e20
 
 
+def _cpp_min(a, b):
+    """std::min(a, b) = (b < a) ? b : a — returns `a` when b is NaN.
+
+    The formant envelope's inverse-decay pass runs with decay = 1/0 = inf
+    when the pitch estimate is 0 (all-silent metric, reference :984-1007):
+    the sequential C++ computes e*inf = NaN for e == 0 and std::min silently
+    discards it (NaN < a is false).  jnp.minimum PROPAGATES NaNs, which
+    turned silent-leading formant renders into all-NaN output — the where
+    form reproduces the C++ selection exactly (including ±0 preference)."""
+    return jnp.where(b < a, b, a)
+
+
+def _cpp_max(a, b):
+    """std::max(a, b) = (a < b) ? b : a — returns `a` when b is NaN."""
+    return jnp.where(a < b, b, a)
+
+
 def iir_forward(x: jnp.ndarray, init, slew) -> tuple:
     """y_b = y_{b-1} + (x_b - y_{b-1})*slew along the last axis.
 
@@ -60,18 +77,18 @@ def _decay_scan(x, init, coef, op):
 
 def decay_max_forward(x, init, decay):
     """y_b = max(x_b, decay*y_{b-1}) along last axis -> (y, final)."""
-    return _decay_scan(x, init, decay, jnp.maximum)
+    return _decay_scan(x, init, decay, _cpp_max)
 
 
 def decay_max_backward(x, init, decay):
-    y, fin = _decay_scan(x[..., ::-1], init, decay, jnp.maximum)
+    y, fin = _decay_scan(x[..., ::-1], init, decay, _cpp_max)
     return y[..., ::-1], fin
 
 
 def decay_min_forward(x, init, decay):
-    return _decay_scan(x, init, decay, jnp.minimum)
+    return _decay_scan(x, init, decay, _cpp_min)
 
 
 def decay_min_backward(x, init, decay):
-    y, fin = _decay_scan(x[..., ::-1], init, decay, jnp.minimum)
+    y, fin = _decay_scan(x[..., ::-1], init, decay, _cpp_min)
     return y[..., ::-1], fin

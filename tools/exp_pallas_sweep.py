@@ -132,19 +132,31 @@ def ref_run_group(xs, inj, batch, GR, D, K):
 # pallas kernel
 # --------------------------------------------------------------------------
 def pallas_run_group(xs, inj, batch, GR, D, K, BT):
-    """Mosaic needs the out block's minor dim divisible by 128, so each grid
-    step handles KB = 128 consecutive diagonals (KB//K unrolled sub-blocks
-    of the xs K-tile): the out block is [nch, BT, GR, 128], all stores are
-    static-index, and the ring carry lives in VMEM scratch across the
-    sequential (batch-tile, S4) grid."""
+    """Mosaic needs the out block's minor dim divisible by 128, so the out
+    block covers KB=128 diagonal columns while each grid step computes K=32
+    cells: the step's emissions land in a VMEM scratch (static-index
+    stores), then ONE of four predicated bulk copies moves them to the
+    resident out block (whose index s//4 is constant across the 4 phases).
+    The ring carry lives in VMEM scratch across the sequential
+    (batch-tile, S) grid; K stays 32 so the unrolled live set fits in
+    registers (a 128-cell unroll spilled 449 MB)."""
     S = D // K
     KB = 128
-    sub = KB // K
-    S4 = D // KB
+    phases = KB // K
     # inj with a trailing singleton so per-(w,c,ri) heads read as [BT, 1]
     inj_r = inj.reshape(S, K, 2, ch, 2, batch, 1)
 
-    def kernel(xs_ref, inj_ref, out_ref, ring_ref):
+    # lane-shift as an exact permutation matmul: out = x @ SH with
+    # SH[l-1, l] = 1 puts x[.., l-1] at lane l (head lane 0 <- 0, then the
+    # injected head rides in via a lane-0 select).  Bit-exact: each output
+    # sums one x*1.0 (bf16(1.0) is exact, hi+lo split recombines exactly at
+    # f32 accumulate) and 127 x*0.0 — and ~100x faster in Mosaic than
+    # pltpu.roll, which lowered the K=32 body to ~260 us/step.
+    sh_mat = np.zeros((GR, GR), np.float32)
+    sh_mat[np.arange(GR - 1), np.arange(1, GR)] = 1.0
+    sh_const = jnp.asarray(sh_mat)
+
+    def kernel(xs_ref, inj_ref, sh_ref, out_ref, ring_ref, em_ref):
         s = pl.program_id(1)
 
         @pl.when(s == 0)
@@ -154,89 +166,102 @@ def pallas_run_group(xs, inj, batch, GR, D, K, BT):
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (BT, GR), 1) == 0
         ring = [tuple(ring_ref[l, p] for p in range(nch))
                 for l in range(longv)]
+        dn = (((1,), (0,)), ((), ()))
 
         def shift_in(t, head):
-            r = pltpu.roll(t, 1, 1)
+            r = jax.lax.dot_general(t, sh_ref[...], dn,
+                                    preferred_element_type=jnp.float32,
+                                    precision="highest")
             return jnp.where(lane0, head, r)
 
-        for cblk in range(sub):
-            for j in range(K):
-                x = [xs_ref[cblk, j, p] for p in range(P)]  # each [BT, GR]
-                a1r, a1i, a2r, a2i, d1r, d1i, d2r, d2i = x[:8]
-                pi0r, pi0i, pi1r, pi1i = x[8:12]
-                pe0 = pi0r * pi0r + pi0i * pi0i
-                pe1 = pi1r * pi1r + pi1i * pi1i
-                m = pe1 > pe0
-                prevl, prev1 = ring[0], ring[-1]
-                # up votes: lane-shifted prevl / prev1 with injected heads
-                shL = [shift_in(prevl[c * 2 + ri],
-                                inj_ref[cblk, j, 0, c, ri])
-                       for c in range(ch) for ri in range(2)]
-                sh1 = [shift_in(prev1[c * 2 + ri],
-                                inj_ref[cblk, j, 1, c, ri])
-                       for c in range(ch) for ri in range(2)]
+        for j in range(K):
+            x = [xs_ref[0, j, p] for p in range(P)]     # each [BT, GR]
+            a1r, a1i, a2r, a2i, d1r, d1i, d2r, d2i = x[:8]
+            pi0r, pi0i, pi1r, pi1i = x[8:12]
+            pe0 = pi0r * pi0r + pi0i * pi0i
+            pe1 = pi1r * pi1r + pi1i * pi1i
+            m = pe1 > pe0
+            prevl, prev1 = ring[0], ring[-1]
+            # up votes: lane-shifted prevl / prev1 with injected heads
+            shL = [shift_in(prevl[c * 2 + ri], inj_ref[0, j, 0, c, ri])
+                   for c in range(ch) for ri in range(2)]
+            sh1 = [shift_in(prev1[c * 2 + ri], inj_ref[0, j, 1, c, ri])
+                   for c in range(ch) for ri in range(2)]
 
-                def selp(planes):
-                    return (jnp.where(m, planes[2], planes[0]),
-                            jnp.where(m, planes[3], planes[1]))
+            def selp(planes):
+                return (jnp.where(m, planes[2], planes[0]),
+                        jnp.where(m, planes[3], planes[1]))
 
-                u1r, u1i = selp(shL)
-                ulr, uli = selp(sh1)
-                dn1r, dn1i = selp(prev1)
-                dnlr, dnli = selp(prevl)
-                v0r = a1r * u1r - a1i * u1i
-                v0i = a1r * u1i + a1i * u1r
-                v1r = a2r * ulr - a2i * uli
-                v1i = a2r * uli + a2i * ulr
-                v2r = d1r * dn1r - d1i * dn1i
-                v2i = d1r * dn1i + d1i * dn1r
-                v3r = d2r * dnlr - d2i * dnli
-                v3i = d2r * dnli + d2i * dnlr
-                phr = ((v0r + v1r) + v2r) + v3r
-                phi = ((v0i + v1i) + v2i) + v3i
-                pem = jnp.where(m, pe1, pe0)
-                pimr = jnp.where(m, pi1r, pi0r)
-                pimi = jnp.where(m, pi1i, pi0i)
-                omr, omi = make_output_pair(pem, pimr, pimi, phr, phi)
-                outs = []
-                for c, (pcr, pci, pec) in enumerate(
-                        ((pi0r, pi0i, pe0), (pi1r, pi1i, pe1))):
-                    ctr = pcr * pimr + pci * pimi
-                    cti = pci * pimr - pcr * pimi
-                    tr = omr * ctr - omi * cti
-                    ti = omr * cti + omi * ctr
-                    lcr, lci = make_output_pair(pec, pcr, pci, tr, ti)
-                    main = m if c == 1 else ~m
-                    outs += [jnp.where(main, omr, lcr),
-                             jnp.where(main, omi, lci)]
-                ring = ring[1:] + [tuple(outs)]
-                for p in range(nch):
-                    out_ref[p, :, :, cblk * K + j] = outs[p]
+            u1r, u1i = selp(shL)
+            ulr, uli = selp(sh1)
+            dn1r, dn1i = selp(prev1)
+            dnlr, dnli = selp(prevl)
+            v0r = a1r * u1r - a1i * u1i
+            v0i = a1r * u1i + a1i * u1r
+            v1r = a2r * ulr - a2i * uli
+            v1i = a2r * uli + a2i * ulr
+            v2r = d1r * dn1r - d1i * dn1i
+            v2i = d1r * dn1i + d1i * dn1r
+            v3r = d2r * dnlr - d2i * dnli
+            v3i = d2r * dnli + d2i * dnlr
+            phr = ((v0r + v1r) + v2r) + v3r
+            phi = ((v0i + v1i) + v2i) + v3i
+            pem = jnp.where(m, pe1, pe0)
+            pimr = jnp.where(m, pi1r, pi0r)
+            pimi = jnp.where(m, pi1i, pi0i)
+            omr, omi = make_output_pair(pem, pimr, pimi, phr, phi)
+            outs = []
+            for c, (pcr, pci, pec) in enumerate(
+                    ((pi0r, pi0i, pe0), (pi1r, pi1i, pe1))):
+                ctr = pcr * pimr + pci * pimi
+                cti = pci * pimr - pcr * pimi
+                tr = omr * ctr - omi * cti
+                ti = omr * cti + omi * ctr
+                lcr, lci = make_output_pair(pec, pcr, pci, tr, ti)
+                main = m if c == 1 else ~m
+                outs += [jnp.where(main, omr, lcr),
+                         jnp.where(main, omi, lci)]
+            ring = ring[1:] + [tuple(outs)]
+            # em scratch is [nch, K, BT, GR]: the store is layout-preserving
+            # (GR stays on lanes); the K->minor relayout happens ONCE per
+            # step in the bulk phase copy below, not per store (a per-store
+            # [BT,GR]->K-minor write is a full transpose each time)
+            for p in range(nch):
+                em_ref[p, j] = outs[p]
         for l in range(longv):
             for p in range(nch):
                 ring_ref[l, p] = ring[l][p]
+        for c in range(phases):
+            @pl.when(s % phases == c)
+            def _(c=c):
+                for p in range(nch):
+                    out_ref[p, :, :, c * K:(c + 1) * K] = jnp.transpose(
+                        em_ref[p], (1, 2, 0))
 
-    grid = (batch // BT, S4)
+    grid = (batch // BT, S)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((sub, K, P, BT, GR),
+            pl.BlockSpec((1, K, P, BT, GR),
                          lambda b, s: (s, 0, 0, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sub, K, 2, ch, 2, BT, 1),
+            pl.BlockSpec((1, K, 2, ch, 2, BT, 1),
                          lambda b, s: (s, 0, 0, 0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GR, GR), lambda b, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((nch, BT, GR, KB),
-                               lambda b, s: (0, b, 0, s),
+                               lambda b, s: (0, b, 0, s // phases),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nch, batch, GR, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((longv, nch, BT, GR), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((longv, nch, BT, GR), jnp.float32),
+                        pltpu.VMEM((nch, K, BT, GR), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xs, inj_r)
+    )(xs, inj_r, sh_const)
     return out
 
 
@@ -245,9 +270,11 @@ def main():
     B = 4096
     K = 32
     GR = 128
-    BT = int(os.environ.get("SST_PALLAS_BT", "32"))
+    BT = int(os.environ.get("SST_PALLAS_BT", "16"))
     align = K * 128 // np.gcd(K, 128)
     D = -(-(B + (GR - 1) * step) // align) * align
+    if os.environ.get("SST_PALLAS_D"):       # small-D lowering check
+        D = int(os.environ["SST_PALLAS_D"])
     S = D // K
     print(f"shapes: S={S} K={K} D={D} GR={GR} BT={BT} "
           f"xs={S*K*P*batch*GR*4/2**30:.2f} GiB", flush=True)
