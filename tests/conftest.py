@@ -10,7 +10,20 @@ import subprocess
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# CRITICAL for the suite's bit-equality gates: multi-threaded Eigen
+# contractions on the CPU backend are EXECUTION-nondeterministic — when the
+# contraction dim is sharded across threads, partial sums combine in thread
+# completion order, so the SAME executable on the SAME inputs returns
+# different bits call to call (measured: 9/119 renders mismatched without
+# this flag, 0/119 with it; tools/exp_cpu_determinism.py).  This — not
+# compile-cache poisoning or fma-contraction drift — was the root cause of
+# the order-dependent test failures in rounds 1-3: any dot-heavy render had
+# a ~5-10% chance of flipping a few low bits, and the phase recursion
+# amplified them to ~1e-5.
+if "multi_thread_eigen" not in flags:
+    flags = (flags + " --xla_cpu_multi_thread_eigen=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
