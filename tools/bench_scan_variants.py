@@ -38,16 +38,7 @@ def _make_output(pe, pi_r, pi_i, ph_r, ph_i):
     return p2r * s, p2i * s
 
 
-def timed(fn, *a, reps=3):
-    t0 = time.perf_counter()
-    float(fn(*a))
-    cs = time.perf_counter() - t0
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*a))
-        ts.append(time.perf_counter() - t0)
-    return min(ts), cs
+from tputime import timed  # noqa: E402  (floor-corrected; tools/tputime.py)
 
 
 def main():

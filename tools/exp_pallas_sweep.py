@@ -39,16 +39,7 @@ nch = 2 * ch
 P = 12          # 8 vote planes + 4 pi planes (pe_from_pi)
 
 
-def timed(fn, *a, reps=3):
-    t0 = time.perf_counter()
-    float(fn(*a))
-    cs = time.perf_counter() - t0
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*a))
-        ts.append(time.perf_counter() - t0)
-    return min(ts), cs
+from tputime import timed  # noqa: E402  (floor-corrected; tools/tputime.py)
 
 
 def make_output_pair(pe, pir, pii, phr, phi):
@@ -265,6 +256,135 @@ def pallas_run_group(xs, inj, batch, GR, D, K, BT):
     return out
 
 
+# --------------------------------------------------------------------------
+# pallas kernel v2: production-time shift
+# --------------------------------------------------------------------------
+def pallas_run_group2(xs, inj, batch, GR, D, K, BT):
+    """v1 pays 8 lane-shift matmuls per cell (shifting ring[0]/ring[-1] at
+    every consumption site).  Each ring entry is consumed shifted exactly
+    twice (as prev1 next step, as prevl longv steps later) with the SAME
+    shift, so shift ONCE at production: stack the 4 emitted planes into one
+    [4*BT, GR] @ [GR, GR] matmul (2x fewer shift FLOPs, 8x fewer MXU
+    dispatches) and carry (outs, shifted outs) in the ring.  Consumers only
+    pay the lane-0 injection select.  Bit-exact: the shift matmul is the
+    same highest-precision permutation product as v1's."""
+    S = D // K
+    KB = 128
+    phases = KB // K
+    inj_r = inj.reshape(S, K, 2, ch, 2, batch, 1)
+
+    sh_mat = np.zeros((GR, GR), np.float32)
+    sh_mat[np.arange(GR - 1), np.arange(1, GR)] = 1.0
+    sh_const = jnp.asarray(sh_mat)
+
+    def kernel(xs_ref, inj_ref, sh_ref, out_ref, ring_ref, em_ref):
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _():
+            ring_ref[...] = jnp.zeros_like(ring_ref)
+
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (BT, GR), 1) == 0
+        # ring entry: [2(plain|shifted), nch, BT, GR]
+        ring = [tuple(tuple(ring_ref[l, v, p] for p in range(nch))
+                      for v in range(2)) for l in range(longv)]
+        dn = (((1,), (0,)), ((), ()))
+
+        for j in range(K):
+            x = [xs_ref[0, j, p] for p in range(P)]     # each [BT, GR]
+            a1r, a1i, a2r, a2i, d1r, d1i, d2r, d2i = x[:8]
+            pi0r, pi0i, pi1r, pi1i = x[8:12]
+            pe0 = pi0r * pi0r + pi0i * pi0i
+            pe1 = pi1r * pi1r + pi1i * pi1i
+            m = pe1 > pe0
+            (prevl, sprevl), (prev1, sprev1) = ring[0], ring[-1]
+            shL = [jnp.where(lane0, inj_ref[0, j, 0, c, ri],
+                             sprevl[c * 2 + ri])
+                   for c in range(ch) for ri in range(2)]
+            sh1 = [jnp.where(lane0, inj_ref[0, j, 1, c, ri],
+                             sprev1[c * 2 + ri])
+                   for c in range(ch) for ri in range(2)]
+
+            def selp(planes):
+                return (jnp.where(m, planes[2], planes[0]),
+                        jnp.where(m, planes[3], planes[1]))
+
+            u1r, u1i = selp(shL)
+            ulr, uli = selp(sh1)
+            dn1r, dn1i = selp(prev1)
+            dnlr, dnli = selp(prevl)
+            v0r = a1r * u1r - a1i * u1i
+            v0i = a1r * u1i + a1i * u1r
+            v1r = a2r * ulr - a2i * uli
+            v1i = a2r * uli + a2i * ulr
+            v2r = d1r * dn1r - d1i * dn1i
+            v2i = d1r * dn1i + d1i * dn1r
+            v3r = d2r * dnlr - d2i * dnli
+            v3i = d2r * dnli + d2i * dnlr
+            phr = ((v0r + v1r) + v2r) + v3r
+            phi = ((v0i + v1i) + v2i) + v3i
+            pem = jnp.where(m, pe1, pe0)
+            pimr = jnp.where(m, pi1r, pi0r)
+            pimi = jnp.where(m, pi1i, pi0i)
+            omr, omi = make_output_pair(pem, pimr, pimi, phr, phi)
+            outs = []
+            for c, (pcr, pci, pec) in enumerate(
+                    ((pi0r, pi0i, pe0), (pi1r, pi1i, pe1))):
+                ctr = pcr * pimr + pci * pimi
+                cti = pci * pimr - pcr * pimi
+                tr = omr * ctr - omi * cti
+                ti = omr * cti + omi * ctr
+                lcr, lci = make_output_pair(pec, pcr, pci, tr, ti)
+                main = m if c == 1 else ~m
+                outs += [jnp.where(main, omr, lcr),
+                         jnp.where(main, omi, lci)]
+            # production-time shift: one stacked permutation matmul
+            stk = jnp.concatenate(outs, axis=0)         # [nch*BT, GR]
+            sstk = jax.lax.dot_general(stk, sh_ref[...], dn,
+                                       preferred_element_type=jnp.float32,
+                                       precision="highest")
+            souts = tuple(sstk[p * BT:(p + 1) * BT] for p in range(nch))
+            ring = ring[1:] + [(tuple(outs), souts)]
+            for p in range(nch):
+                em_ref[p, j] = outs[p]
+        for l in range(longv):
+            for p in range(nch):
+                ring_ref[l, 0, p] = ring[l][0][p]
+                ring_ref[l, 1, p] = ring[l][1][p]
+        for c in range(phases):
+            @pl.when(s % phases == c)
+            def _(c=c):
+                for p in range(nch):
+                    out_ref[p, :, :, c * K:(c + 1) * K] = jnp.transpose(
+                        em_ref[p], (1, 2, 0))
+
+    grid = (batch // BT, S)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, K, P, BT, GR),
+                         lambda b, s: (s, 0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 2, ch, 2, BT, 1),
+                         lambda b, s: (s, 0, 0, 0, 0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GR, GR), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nch, BT, GR, KB),
+                               lambda b, s: (0, b, 0, s // phases),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nch, batch, GR, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((longv, 2, nch, BT, GR), jnp.float32),
+                        pltpu.VMEM((nch, K, BT, GR), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xs, inj_r, sh_const)
+    return out
+
+
 def main():
     batch = int(os.environ.get("SST_PROF_BATCH", "32"))
     B = 4096
@@ -298,14 +418,21 @@ def main():
               flush=True)
     dt, cs = timed(lambda x, i: jnp.sum(jnp.abs(f_pal(x, i))), xs, inj)
     print(f"pallas     : {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
+    f_pal2 = jax.jit(functools.partial(pallas_run_group2, batch=batch, GR=GR,
+                                       D=D, K=K, BT=BT))
+    dt, cs = timed(lambda x, i: jnp.sum(jnp.abs(f_pal2(x, i))), xs, inj)
+    print(f"pallas v2  : {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
 
     if os.environ.get("SST_SKIP_REF") != "1":
         a = np.asarray(f_ref(xs, inj))
         b = np.asarray(f_pal(xs, inj))
+        b2 = np.asarray(f_pal2(xs, inj))
         d = np.abs(a - b)
         rel = d.max() / (np.abs(a).max() + 1e-30)
         print(f"max abs diff {d.max():.3e}  rel {rel:.3e}  "
               f"bitexact={np.array_equal(a, b)}", flush=True)
+        print(f"v2 bitexact={np.array_equal(a, b2)} "
+              f"(max {np.abs(a - b2).max():.3e})", flush=True)
 
 
 if __name__ == "__main__":

@@ -26,16 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *a, reps=3):
-    t0 = time.perf_counter()
-    float(fn(*a))
-    cs = time.perf_counter() - t0
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*a))
-        ts.append(time.perf_counter() - t0)
-    return min(ts), cs
+from tputime import timed  # noqa: E402  (floor-corrected)
 
 
 def main():

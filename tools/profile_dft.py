@@ -19,16 +19,7 @@ from signalsmith_stretch_tpu import stft
 from signalsmith_stretch_tpu.config import StretchConfig
 
 
-def timed(fn, *a, reps=3):
-    t0 = time.perf_counter()
-    float(fn(*a))
-    cs = time.perf_counter() - t0
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*a))
-        ts.append(time.perf_counter() - t0)
-    return min(ts), cs
+from tputime import timed  # noqa: E402  (floor-corrected; tools/tputime.py)
 
 
 def main():

@@ -28,16 +28,7 @@ from signalsmith_stretch_tpu.utils.profiling import stage_fns
 from bench import make_corpus
 
 
-def timed(fn, *args, reps=3):
-    t0 = time.perf_counter()
-    float(fn(*args))
-    compile_s = time.perf_counter() - t0
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times), compile_s
+from tputime import timed  # noqa: E402  (floor-corrected; see tools/tputime.py)
 
 
 def main():
