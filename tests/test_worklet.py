@@ -16,7 +16,7 @@ def test_worklet_host_matches_direct_node(test_signal):
         host.add_buffers(sig)
         host.start(input=0.0, rate=1.25, output=0.0)
         host.resume()             # AudioContext.resume(): quantum 0 = t 0
-        got = host.read(32)
+        got = host.read(32, timeout=120.0)
         t = host.poll_time()
     finally:
         host.close()
@@ -39,11 +39,11 @@ def test_worklet_control_between_quanta(test_signal):
         host.add_buffers(sig)
         host.start(input=0.0, rate=1.0, output=0.0)
         host.resume()
-        first = host.read(8)
+        first = host.read(8, timeout=120.0)
         host.stop()
         # drain: after the command lands, quanta are silence
         for _ in range(40):
-            q = host.read(1)
+            q = host.read(1, timeout=120.0)
             if not q.any():
                 break
         assert not q.any()
@@ -89,7 +89,7 @@ def test_batched_quanta_match_per_quantum(test_signal):
         host.add_buffers(sig)
         host.start(input=0.0, rate=1.25, output=0.0)
         host.resume()
-        got = host.read(16)
+        got = host.read(16, timeout=120.0)
     finally:
         host.close()
     assert got.shape == (1, 16 * 128)
