@@ -48,6 +48,12 @@ def make_corpus(batch, channels, in_len, rate, seed=0):
 
 
 def run_config(name, model, clips, rate, reps):
+    """Steady-state throughput: `reps` batches dispatched back-to-back with
+    ONE final sync, the way a production pipeline feeds the chip (JAX async
+    dispatch keeps the device busy; the host never blocks per batch).  The
+    relay's fixed ~26 ms sync round-trip is thereby amortized across the
+    run instead of taxing every batch; single-batch latency (sync per call)
+    is reported separately."""
     batch = clips.shape[0]
     seeds = jnp.arange(batch, dtype=jnp.int32)
 
@@ -59,14 +65,19 @@ def run_config(name, model, clips, rate, reps):
     t0 = time.perf_counter()
     float(fn(x, seeds))
     compile_s = time.perf_counter() - t0
-    times = []
-    for _ in range(reps):
+    lat = []
+    for _ in range(2):
         t0 = time.perf_counter()
         float(fn(x, seeds))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+        lat.append(time.perf_counter() - t0)
+    n = max(reps, 4)
+    t0 = time.perf_counter()
+    outs = [fn(x, seeds) for _ in range(n)]
+    float(outs[-1])
+    dt = (time.perf_counter() - t0) / n
     audio_seconds = batch * clips.shape[2] / rate
     return dict(name=name, batch=batch, seconds=round(dt, 4),
+                latency_seconds=round(min(lat), 4),
                 compile_seconds=round(compile_s, 1),
                 audio_seconds=audio_seconds,
                 realtime_factor=round(audio_seconds / dt, 1))

@@ -238,30 +238,40 @@ def gather_frames(timeline: jnp.ndarray, idx: np.ndarray,
     return jnp.concatenate(pieces, axis=0)       # [nB, ch, block]
 
 
-def analyze_stage(audio: jnp.ndarray, plan: ExactPlan):
+def analyze_stage(audio: jnp.ndarray, plan: ExactPlan, pair: bool = False):
     """Stage 1 of exact(): timeline + frame gathers + modified-FFT analysis.
-    Returns (spectra, prev_spectra), both [nB, ch, B] complex64."""
+    Returns (spectra, prev_spectra), both [nB, ch, B] complex64 — or, with
+    pair=True, each as an f32 (re, im) plane pair (the TPU path: the matmul
+    DFT computes planes natively and the wavefront planner consumes them, so
+    complex64 never materializes; see wavefront.plan_spectral)."""
     timeline = _build_timeline(audio, plan)
     block = plan.cfg.block_samples
     nB = plan.frame_idx.shape[0]
-    if len(plan.re_rows):
-        # one combined gather + ONE batched FFT for main and re-analysis
-        # frames: shares the timeline reads and doubles the DFT-matmul batch
-        # (uniform-stride run collapsing applies to each half unchanged)
-        all_idx = np.concatenate([plan.frame_idx, plan.re_frame_idx], axis=0)
-        all_spec = stft.analyze(gather_frames(timeline, all_idx, block),
-                                plan.basis)
-        spectra = all_spec[:nB]
-        if len(plan.re_rows) == nB:      # fixed-rate renders reanalyse every
-            prev_spectra = all_spec[nB:]  # block: plain split, no scatter
+
+    def per_plane(f):
+        if len(plan.re_rows):
+            # one combined gather + ONE batched FFT for main + re-analysis
+            # frames: shares the timeline reads and doubles the DFT batch
+            # (uniform-stride run collapsing applies to each half unchanged)
+            all_idx = np.concatenate([plan.frame_idx, plan.re_frame_idx],
+                                     axis=0)
+            all_spec = f(gather_frames(timeline, all_idx, block))
+            spectra = tuple(p[:nB] for p in all_spec)
+            if len(plan.re_rows) == nB:   # fixed-rate renders reanalyse every
+                prev = tuple(p[nB:] for p in all_spec)  # block: plain split
+            else:
+                rr = jnp.asarray(plan.re_rows)
+                prev = tuple(jnp.zeros_like(s).at[rr].set(p[nB:])
+                             for s, p in zip(spectra, all_spec))
         else:
-            prev_spectra = (jnp.zeros_like(spectra)
-                            .at[jnp.asarray(plan.re_rows)].set(all_spec[nB:]))
-    else:
-        spectra = stft.analyze(gather_frames(timeline, plan.frame_idx, block),
-                               plan.basis)
-        prev_spectra = jnp.zeros_like(spectra)
-    return spectra, prev_spectra
+            spectra = f(gather_frames(timeline, plan.frame_idx, block))
+            prev = tuple(jnp.zeros_like(s) for s in spectra)
+        return spectra, prev
+
+    if pair:
+        return per_plane(lambda fr: stft.analyze_pair(fr, plan.basis))
+    spectra, prev = per_plane(lambda fr: (stft.analyze(fr, plan.basis),))
+    return spectra[0], prev[0]
 
 
 def spectral_stage(spectra, prev_spectra, plan: ExactPlan,
@@ -419,7 +429,15 @@ def render_exact(audio: jnp.ndarray, plan: ExactPlan,
     if not plan.sched.valid:
         out = jnp.zeros((audio.shape[0], plan.sched.out_samples), jnp.float32)
         return (out, jnp.int32(0)) if with_diag else out
-    spectra, prev_spectra = analyze_stage(audio, plan)
+    # planar f32 spectra flow on the TPU wavefront path: the matmul DFT
+    # emits (re, im) planes and the planner consumes them, so complex64
+    # never materializes between analysis and the sweep (override with
+    # SST_SPECTRA_PAIR=0/1; CPU keeps complex64 — its jnp.fft path is
+    # complex anyway and the probe parity gates run there)
+    pair = (os.environ.get("SST_SPECTRA_PAIR") or
+            ("1" if jax.default_backend() != "cpu" else "0")) == "1"
+    pair = pair and os.environ.get("SST_ENGINE", "wavefront") == "wavefront"
+    spectra, prev_spectra = analyze_stage(audio, plan, pair=pair)
     out_specs = spectral_stage(spectra, prev_spectra, plan, controls, flags,
                                seed, with_diag=with_diag)
     viol = None

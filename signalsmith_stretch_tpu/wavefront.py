@@ -704,9 +704,137 @@ def _sel(mc, items):
     return out
 
 
+# f32 (re, im) pair complex arithmetic, mirroring XLA's complex lowering
+# (mul: (ar*br - ai*bi, ar*bi + ai*br); conj folds sign into the products the
+# way `x * jnp.conj(y)` lowers) so pair-plan values match the complex plan to
+# reassociation noise only.
+def _pmul(a, b):
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def _pmulc(a, b):
+    """a * conj(b) on (re, im) pairs."""
+    return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
+
+
+def _psel(mc, pairs):
+    return (_sel(mc, [p[0] for p in pairs]), _sel(mc, [p[1] for p in pairs]))
+
+
+def _pmap(f, z):
+    return (f(z[0]), f(z[1]))
+
+
 # ---------------------------------------------------------------------------
 # Batched precompute (stages a-f of SURVEY.md §3.3 for all blocks at once)
 # ---------------------------------------------------------------------------
+def _plan_tail_pair(sp, pv, arrays, flags, consts, tf):
+    """plan_spectral for the unmapped / formant-free / non-randomized case on
+    f32 (re, im) spectra plane pairs — no complex64 anywhere, so the planner
+    output feeds the pair sweep's packed planes without an interleave/
+    deinterleave round trip (the c64 SweepInputs boundary measured ~36 ms of
+    the 142 ms sweep at bench shapes, tools/exp_sweep_prefix.py).
+
+    Same formulas and operand order as the complex tail (reference
+    signalsmith-stretch.h:697-803); complex mul/conj are expanded exactly as
+    XLA lowers them, so values differ only by reassociation noise.
+    """
+    (sr, si), (pr, pv_i) = sp, pv
+    nB, ch, B = sr.shape
+    longv = consts.long_vertical_step
+    new = arrays["new_spectrum"]
+    reanalyse = arrays["reanalyse"]
+    rot = consts.rotor                      # numpy complex64 [B]
+    rotor = (jnp.asarray(rot.real), jnp.asarray(rot.imag))
+
+    idx = np.arange(nB)
+    src_input = np.maximum.accumulate(np.where(new, idx, -1))
+    m_prev = np.empty(nB, np.int64)
+    m_prev[0] = -1
+    m_prev[1:] = src_input[:-1]
+
+    def eff_input(z):
+        if (src_input == idx).all():
+            return z
+        ze = z[np.maximum(src_input, 0)]
+        return jnp.where(jnp.asarray((src_input >= 0))[:, None, None], ze, 0)
+
+    ie = (eff_input(sr), eff_input(si))
+
+    def eff_prev(zp, z):
+        if reanalyse.all():
+            return zp
+        base_idx = np.where(new & ~reanalyse, np.maximum(m_prev, 0),
+                            np.maximum(src_input, 0))
+        base_valid = np.where(new & ~reanalyse, m_prev >= 0, src_input >= 0)
+        pb = jnp.where(jnp.asarray(reanalyse)[:, None, None], zp, z[base_idx])
+        return jnp.where(jnp.asarray(base_valid | reanalyse)[:, None, None],
+                         pb, 0)
+
+    pb = (eff_prev(pr, sr), eff_prev(pv_i, si))
+    if new.all():
+        pe_ = _pmul(pb, (rotor[0][None, None], rotor[1][None, None]))
+    else:
+        rotated = _pmul(pb, (rotor[0], rotor[1]))
+        nmask = jnp.asarray(new)[:, None, None]
+        pe_ = (jnp.where(nmask, rotated[0], pb[0]),
+               jnp.where(nmask, rotated[1], pb[1]))
+
+    # per-channel planes [nB, B]
+    pi = [(ie[0][:, c], ie[1][:, c]) for c in range(ch)]
+    prev_i = [(pe_[0][:, c], pe_[1][:, c]) for c in range(ch)]
+    pe = [p[0] * p[0] + p[1] * p[1] for p in pi]
+    pe_prev = [jnp.concatenate([jnp.zeros((1, B), x.dtype), x[:-1]], 0)
+               for x in pe]
+    if new.all():
+        rotor_eff = (rotor[0][None, :], rotor[1][None, :])
+    else:
+        nm = jnp.asarray(new)[:, None]
+        rotor_eff = (jnp.where(nm, rotor[0], f32(1.0)),
+                     jnp.where(nm, rotor[1], f32(0.0)))
+    c1 = []
+    for c in range(ch):
+        num = _pmul(rotor_eff, _pmulc(pi[c], prev_i[c]))
+        den = jnp.maximum(pe_prev[c], pe[c]) + f32(NOISE_FLOOR)
+        c1.append((num[0] / den, num[1] / den))
+
+    # votes: static fractional shifts of the effective input (:744-786)
+    ltf = (f32(longv) * tf).astype(f32)
+    sd = [_pmap(lambda z: _interp_shift_static(z, tf), pi_c) for pi_c in
+          [(ie[0][:, c], ie[1][:, c]) for c in range(ch)]]
+    ld = [_pmap(lambda z: _interp_shift_static(z, ltf), pi_c) for pi_c in
+          [(ie[0][:, c], ie[1][:, c]) for c in range(ch)]]
+    us = [_pmap(lambda z: _shift_up(z, 1), x) for x in sd]
+    ul = [_pmap(lambda z: _shift_up(z, longv), x) for x in ld]
+
+    mc = (jnp.zeros((nB, B), jnp.int32) if ch == 1 else
+          jnp.argmax(jnp.stack(pe, 1), axis=1).astype(jnp.int32))
+    pi_max = _psel(mc, pi)
+    short_down = _psel(mc, sd)
+    long_down = _psel(mc, ld)
+    up_short = _psel(mc, us)
+    up_long = _psel(mc, ul)
+
+    b_idx = jnp.arange(B)
+
+    def mask(z, cond):
+        return _pmap(lambda x: jnp.where(cond, x, 0), z)
+
+    d1 = mask(_pmulc(pi_max, short_down), b_idx > 0)
+    d2 = mask(_pmulc(pi_max, long_down), b_idx >= longv)
+
+    pi_up1 = _psel(mc, [_pmap(lambda z: _shift_up(z, 1), p) for p in pi])
+    pi_upl = _psel(mc, [_pmap(lambda z: _shift_up(z, longv), p) for p in pi])
+    c1_up1 = _psel(mc, [_pmap(lambda z: _shift_up(z, 1), p) for p in c1])
+    c1_upl = _psel(mc, [_pmap(lambda z: _shift_up(z, longv), p) for p in c1])
+    # a = c1_up * conj(pi_up * conj(up_vote))
+    a1 = mask(_pmulc(c1_up1, _pmulc(pi_up1, up_short)), b_idx < B - 1)
+    a2 = mask(_pmulc(c1_upl, _pmulc(pi_upl, up_long)), b_idx < B - longv)
+
+    return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
+                       pe=tuple(pe), pi=tuple(pi))
+
+
 def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
                   arrays: dict, controls: spectral.Controls,
                   flags: spectral.SpectralFlags,
@@ -727,8 +855,27 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     means a bound bug silently corrupted taps, so the engine surfaces it as
     a render diagnostic (VERDICT r2 hygiene: no silently-zeroed tap may
     ship a wrong render unnoticed).
+
+    spectra/prev_spectra may each be an f32 (re, im) plane PAIR instead of
+    complex64 (the TPU analysis emits pairs): the unmapped / formant-free /
+    non-randomized case then runs an all-pair tail (_plan_tail_pair) and no
+    complex64 is ever materialized; every other case reconstitutes complex
+    at entry (identical values — lax.complex is bit-transparent).
     """
     dbg = {}
+    pair_in = isinstance(spectra, tuple)
+    if pair_in:
+        tf_pair = np.maximum(arrays["time_factor"],
+                             f32(1.0 / MAX_CLEAN_STRETCH))
+        if (not flags.mapped and not flags.process_formants and not debug
+                and not bool((tf_pair > f32(MAX_CLEAN_STRETCH)).any())):
+            result = _plan_tail_pair(spectra, prev_spectra, arrays, flags,
+                                     consts, tf_pair)
+            if with_violations:
+                return result, jnp.int32(0)
+            return result
+        spectra = jax.lax.complex(*spectra)
+        prev_spectra = jax.lax.complex(*prev_spectra)
     nB, ch, B = spectra.shape
     longv = consts.long_vertical_step
     new = arrays["new_spectrum"]          # numpy bool [nB]
@@ -1107,7 +1254,8 @@ def spectral_all_blocks(spectra, prev_spectra, arrays, controls, flags,
                                flags, consts, seed)
     longv = consts.long_vertical_step
     step = longv + 1
-    nB = inputs.a1.shape[0]
+    nB = (inputs.a1[0] if isinstance(inputs.a1, tuple)
+          else inputs.a1).shape[0]
 
     # pe is bit-identical to |pi|^2 whenever the identity map fed the
     # prediction stage (pe = in_energy = re^2+im^2 of input_eff, computed
@@ -1203,7 +1351,22 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
 
     def batched_impl(inp: SweepInputs):
         pair = _pair_mode()
-        batch, nB, B = inp.a1.shape
+        pair_leaves = isinstance(inp.a1, tuple)
+        if pair_leaves and not pair:
+            # pair planner output but a complex-cell sweep (CPU override):
+            # reconstitute complex leaves (bit-transparent)
+            inp = SweepInputs(
+                a1=jax.lax.complex(*inp.a1), a2=jax.lax.complex(*inp.a2),
+                d1=jax.lax.complex(*inp.d1), d2=jax.lax.complex(*inp.d2),
+                mc=inp.mc, pe=inp.pe,
+                pi=tuple(jax.lax.complex(*p) for p in inp.pi))
+            pair_leaves = False
+
+        def _ri(z):
+            return z if isinstance(z, tuple) else (z.real, z.imag)
+
+        a1_leaf = inp.a1[0] if pair_leaves else inp.a1
+        batch, nB, B = a1_leaf.shape
         nBp = -(-nB // 128) * 128
         align = K * 128 // np.gcd(K, 128)
         on_cpu = jax.default_backend() == "cpu"
@@ -1215,18 +1378,32 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
 
         arrs = []
         for name in ("a1", "a2", "d1", "d2"):
-            z = getattr(inp, name)
-            arrs += [z.real, z.imag]
+            arrs += list(_ri(getattr(inp, name)))
         if carry_mc:
             arrs.append(inp.mc.astype(jnp.float32))
         if not pe_from_pi:
             for c in range(ch):
                 arrs.append(inp.pe[c])
         for c in range(ch):
-            arrs += [inp.pi[c].real, inp.pi[c].imag]
+            arrs += list(_ri(inp.pi[c]))
         packed = jnp.pad(jnp.stack(arrs, axis=1),
                          ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
         P = packed.shape[1]            # [batch, P, nBp, B]; pad rows zero
+        # profiling-only early exit (tools/exp_sweep_prefix.py): truncate the
+        # pipeline after a phase so its cost can be attributed by difference.
+        # Never set in production; outputs are NOT render outputs.  The
+        # barrier forces the intermediate to materialize (the checksum alone
+        # would fuse into the producers and skip the write), and the [batch]
+        # checksum keeps the custom_vmap output contract (batch-leading).
+        stop = os.environ.get("SST_SWEEP_STOP", "")
+
+        def _stop_sum(x, batch_axis):
+            x = jax.lax.optimization_barrier(x)
+            axes = tuple(a for a in range(x.ndim) if a != batch_axis)
+            return jnp.sum(jnp.abs(x), axis=axes)
+
+        if stop == "pack":
+            return _stop_sum(packed, 0)
 
         def build_sk(g0, rows_n, D):
             """CPU skew for rows [g0, g0+rows_n): [D, P, batch, rows_n].
@@ -1447,10 +1624,10 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             if pair:
                 ring0 = jnp.zeros((longv, ch, 2, batch, rows_n), jnp.float32)
             else:
-                ring0 = jnp.zeros((longv, ch, batch, rows_n), inp.a1.dtype)
+                ring0 = jnp.zeros((longv, ch, batch, rows_n), a1_leaf.dtype)
             if dus:
                 buf0 = jnp.zeros((nch, batch, rows_n, D),
-                                 jnp.float32 if pair else inp.a1.dtype)
+                                 jnp.float32 if pair else a1_leaf.dtype)
                 offs = jnp.arange(D // K, dtype=jnp.int32) * K
                 (_, buf), _ = jax.lax.scan(body, (ring0, buf0),
                                            (xs, inj, offs))
@@ -1510,6 +1687,8 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             rows = rows.reshape(nG, GR, batch, P, D)
             sk_all = jnp.transpose(rows, (0, 4, 3, 2, 1))
         xs_all = sk_all.reshape(nG, D // K, K, P, batch, GR)
+        if stop == "skew":
+            return _stop_sum(xs_all, 4)
 
         def group_body(prev_last, xs_g):
             # lane 0 (first row of the group) reads the previous group's
@@ -1530,6 +1709,12 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             if emit_mode == "scan":
                 outs = jnp.transpose(outs.reshape(D, nch, batch, GR),
                                      (1, 2, 3, 0))     # [nch,batch,GR,D]
+            if stop == "scan":     # profiling: raw diagonals, minimal carry
+                og = unskew_group(outs[:, :, GR - 1:GR], 1, D)
+                last = og[:, :, 0]
+                if bands < B:
+                    last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
+                return last[..., :B], outs
             og = unskew_group(outs, GR, D)             # [nch,batch,GR,bands]
             last = og[:, :, GR - 1]
             if bands < B:
@@ -1537,7 +1722,7 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return last[..., :B], og
 
         carry0 = jnp.zeros((nch, batch, B),
-                           jnp.float32 if pair else inp.a1.dtype)
+                           jnp.float32 if pair else a1_leaf.dtype)
         if nG == 1:
             # monolithic: skip the group scan (a nested scan costs real
             # LLVM/XLA compile time for zero runtime benefit at nG=1)
@@ -1545,6 +1730,8 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             ogs = og[None]
         else:
             _, ogs = jax.lax.scan(group_body, carry0, xs_all)
+        if stop == "scan":             # [nG, nch, batch, GR, D] raw diagonals
+            return _stop_sum(ogs, 2)
         out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
             nch, batch, nBp, bands)[:, :, :nB]
         # swap only the two major dims (minor layout untouched — cheap);

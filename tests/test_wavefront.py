@@ -214,3 +214,70 @@ def test_sweep_skew_modes_match_merge(monkeypatch, mode):
     monkeypatch.setenv("SST_SKEW", mode)
     got = run()
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pair_plan_matches_complex(monkeypatch):
+    """The all-pair planner tail (_plan_tail_pair, the TPU spectra flow) must
+    reproduce the complex planner's SweepInputs: same formulas with the
+    complex mul/conj expanded exactly as XLA lowers them, so pre-recursion
+    coefficients agree to float rounding (no chaos amplification here)."""
+    from signalsmith_stretch_tpu.models import StretchModel
+    rate = 8000
+    model = StretchModel.build(channels=2, sample_rate=rate, cheaper=True,
+                               in_samples=rate, out_samples=int(rate * 1.25))
+    plan = model.plan
+    nB = len(plan.arrays["new_spectrum"])
+    B = plan.consts.bands
+    rng = np.random.default_rng(5)
+
+    def c64(shape):
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    sp, pv = c64((nB, 2, B)), c64((nB, 2, B))
+    ref = wavefront.plan_spectral(jnp.asarray(sp), jnp.asarray(pv),
+                                  plan.arrays, model.controls, model.flags,
+                                  plan.consts, 0)
+    got = wavefront.plan_spectral(
+        (jnp.asarray(sp.real), jnp.asarray(sp.imag)),
+        (jnp.asarray(pv.real), jnp.asarray(pv.imag)),
+        plan.arrays, model.controls, model.flags, plan.consts, 0)
+    assert isinstance(got.a1, tuple)
+    for name in ("a1", "a2", "d1", "d2"):
+        r = getattr(ref, name)
+        g = getattr(got, name)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(r.real),
+                                   rtol=0, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(r.imag),
+                                   rtol=0, atol=2e-5, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(got.mc), np.asarray(ref.mc))
+    for c in range(2):
+        np.testing.assert_array_equal(np.asarray(got.pi[c][0]),
+                                      np.asarray(ref.pi[c].real))
+        np.testing.assert_array_equal(np.asarray(got.pi[c][1]),
+                                      np.asarray(ref.pi[c].imag))
+
+
+def test_pair_spectra_flow_end_to_end(monkeypatch, test_signal):
+    """SST_SPECTRA_PAIR=1 (the TPU default flow: planar DFT -> pair planner
+    -> pair sweep) vs the complex CPU default, full exact() render: values
+    differ only by reassociation noise amplified through the phase
+    recursion (measured -107 dB on this clip; gate -80)."""
+    sig, rate = test_signal
+    sig = sig[:, :rate]
+
+    def render():
+        s = sst.SignalsmithStretch(seed=1)
+        s.preset_cheaper(1, rate, False)
+        out, ok = s.exact(sig, int(sig.shape[1] * 1.25))
+        assert ok
+        return np.asarray(out)
+
+    monkeypatch.setenv("SST_SPECTRA_PAIR", "0")
+    base = render()
+    monkeypatch.setenv("SST_SPECTRA_PAIR", "1")
+    pair = render()
+    monkeypatch.setenv("SST_SWEEP_PAIR", "1")
+    pair2 = render()
+    assert rel_err_db(pair, base) < -80
+    assert rel_err_db(pair2, base) < -80

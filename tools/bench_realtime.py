@@ -29,19 +29,63 @@ import numpy as np  # noqa: E402
 from signalsmith_stretch_tpu.scheduler import StretchNode  # noqa: E402
 
 
+def make_node(rate, quantum, preset, clip_seconds=30.0):
+    node = StretchNode(rate, channels=2, quantum=quantum, preset=preset)
+    t = np.arange(int(rate * clip_seconds)) / rate
+    clip = np.stack([0.4 * np.sin(2 * np.pi * 220 * t),
+                     0.4 * np.sin(2 * np.pi * 220 * t + 0.3)]
+                    ).astype(np.float32)
+    node.add_buffers(clip)
+    node.start(input=0.0, rate=1.25)
+    return node
+
+
+def batched_main():
+    """Quantum-budget table for the batched dispatch path
+    (StretchNode.process_quanta / StreamingStretch.process_many): effective
+    ms/quantum vs the hard real-time budget as the per-dispatch batch N
+    grows.  Each dispatch still pays one full device round trip (the audio
+    must come back to the host every call — a streamer cannot pipeline
+    syncs away like the offline bench), so N is exactly the amortization
+    lever the reference's 128-sample worklet (web-wrapper.js:215-330) does
+    not need but a ~26 ms-round-trip attachment does."""
+    rate = int(os.environ.get("SST_RT_RATE", "48000"))
+    quantum = int(os.environ.get("SST_RT_QUANTUM", "128"))
+    preset = os.environ.get("SST_RT_PRESET", "default")
+    budget_ms = quantum / rate * 1e3
+    rows = []
+    for n_q in (1, 4, 16, 64, 256):
+        node = make_node(rate, quantum, preset)
+        for _ in range(3):                      # warm the jit caches
+            node.process_quanta(n_q)
+        lat = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            node.process_quanta(n_q)
+            lat.append(time.perf_counter() - t0)
+        per_disp = float(np.median(lat)) * 1e3
+        per_q = per_disp / n_q
+        rows.append({
+            "batch_quanta": n_q,
+            "dispatch_ms": round(per_disp, 3),
+            "per_quantum_ms": round(per_q, 4),
+            "budget_ms": round(budget_ms, 4),
+            "realtime_margin": round(budget_ms / per_q, 2),
+            "latency_quanta_budget": n_q,   # audio delivered in N-quantum lumps
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"platform": os.environ["JAX_PLATFORMS"],
+                      "rate": rate, "quantum": quantum, "preset": preset,
+                      "rows": rows}))
+
+
 def main():
     rate = int(os.environ.get("SST_RT_RATE", "48000"))
     quantum = int(os.environ.get("SST_RT_QUANTUM", "128"))
     seconds = float(os.environ.get("SST_RT_SECONDS", "4.0"))
     preset = os.environ.get("SST_RT_PRESET", "default")
 
-    node = StretchNode(rate, channels=2, quantum=quantum, preset=preset)
-    t = np.arange(int(rate * 8)) / rate
-    clip = np.stack([0.4 * np.sin(2 * np.pi * 220 * t),
-                     0.4 * np.sin(2 * np.pi * 220 * t + 0.3)]
-                    ).astype(np.float32)
-    node.add_buffers(clip)
-    node.start(input=0.0, rate=1.25)
+    node = make_node(rate, quantum, preset, clip_seconds=8.0)
 
     budget = quantum / rate
     n_quanta = int(seconds * rate / quantum)
@@ -69,4 +113,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--batched" in sys.argv:
+        batched_main()
+    else:
+        main()

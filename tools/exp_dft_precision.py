@@ -76,23 +76,30 @@ def main():
         back = np.asarray(rt(jnp.asarray(y)))[:, :cfg.block_samples]
         rt_err = db(back, y[:, :cfg.block_samples].astype(np.float64))
 
-        # timing at bench-ish batch
-        big = jnp.asarray(rng.standard_normal(
-            (832 * 4, cfg.block_samples + pad)).astype(np.float32))
+        # timing at the real bench batch (53504 frames, floor-corrected)
+        nBig = int(os.environ.get("SST_DFT_FRAMES", "53504"))
+        big = jax.block_until_ready(jax.jit(lambda k: jax.random.normal(
+            k, (nBig, cfg.block_samples + pad), jnp.float32))(
+                jax.random.PRNGKey(0)))
 
         @jax.jit
         def tfwd(yy):
             xr, xi = stft._matmul_dft(yy, basis)
             return jnp.sum(jnp.abs(xr)) + jnp.sum(jnp.abs(xi))
 
-        float(tfwd(big))
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(tfwd(big))
-            times.append(time.perf_counter() - t0)
+        @jax.jit
+        def tinv(yy):
+            xr, xi = stft._matmul_dft(yy, basis)
+            out = stft._matmul_idft(xr, xi, basis,
+                                    out_len=basis.block_samples)
+            return jnp.sum(jnp.abs(out))
+
+        from tputime import timed
+        dt, _ = timed(tfwd, big)
+        dti, _ = timed(tinv, big)
         print(f"{prec:8s}  fwd_acc {acc:8.1f} dB   roundtrip {rt_err:8.1f} dB"
-              f"   fwd {min(times)*1e3:7.1f} ms", flush=True)
+              f"   fwd {dt*1e3:7.1f} ms   fwd+inv {dti*1e3:7.1f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -167,9 +167,15 @@ def main():
         seeds = jnp.arange(sp.shape[0])
         return jnp.sum(jax.vmap(one)(sp, seeds))
 
-    for name, fn in [("p:inputs", mkstage("inputs")), ("p:map", mkstage("map")),
-                     ("p:prelim", mkstage("prelim")), ("p:votes", mkstage("votes")),
-                     ("full-plan", stage_fullplan)]:
+    only = [s for s in os.environ.get("SST_MAPPED_STAGES", "").split(",") if s]
+    stages = [("smooth", stage_smooth), ("smooth+peaks", stage_peaks),
+              ("interp1", stage_interp),
+              ("p:inputs", mkstage("inputs")), ("p:map", mkstage("map")),
+              ("p:prelim", mkstage("prelim")), ("p:votes", mkstage("votes")),
+              ("full-plan", stage_fullplan)]
+    for name, fn in stages:
+        if only and name not in only:
+            continue
         dt, cs = timed(jax.jit(fn), spectra)
         print(f"{name:10s} {dt*1e3:9.1f} ms (compile {cs:.0f}s)", flush=True)
 
