@@ -162,6 +162,14 @@ def interp_planes_window_multi(planes: jnp.ndarray, pos_sets,
     selects lane L-1 whose shifted value is the same 0 the hi mask produced.
     Halves the selection-matrix bytes per set vs a [2C, L] lo+hi matrix.
     """
+    impl = os.environ.get("SST_INTERP_IMPL", "xla")
+    if impl not in ("xla", "pallas"):
+        raise ValueError("SST_INTERP_IMPL must be xla or pallas")
+    if (impl == "pallas" and jax.default_backend() != "cpu"
+            and pos_sets[0][0].shape[1] % 128 == 0):
+        from .ops.pallas import interp as pallas_interp
+        return pallas_interp.interp_multi(planes, pos_sets, L)
+
     nB, n, W0 = planes.shape
     B = pos_sets[0][0].shape[1]
     nchunk = -(-B // C)
@@ -577,7 +585,177 @@ def _rank_taps_window(cells, tables, B, C, L, slab=8):
     return k, lo, hi, jnp.sum(bads)
 
 
+def _segmented_run_sums(data, start, above):
+    """Per-bin totals of each `above`-run along the last axis.
+
+    data [..., B] (already masked to zero outside runs), start [..., B] run
+    start flags.  Returns [..., B] where every bin of a run holds the run's
+    total (garbage outside runs — callers mask).  Two log-depth associative
+    scans: a segmented prefix sum (reset at starts), then a reverse
+    copy-with-reset that propagates each run's last prefix value backward."""
+    def seg_sum(l, r):
+        return (jnp.where(r[1], r[0], l[0] + r[0]), l[1] | r[1])
+
+    prefix, _ = jax.lax.associative_scan(seg_sum, (data, start), axis=-1)
+    # run end at bin b <=> next bin starts a new run (or b is last)
+    end = jnp.concatenate(
+        [start[..., 1:], jnp.ones(start.shape[:-1] + (1,), bool)], -1)
+    rev = prefix[..., ::-1]
+    rend = end[..., ::-1]
+
+    def seg_copy(l, r):
+        return (jnp.where(r[1], r[0], l[0]), l[1] | r[1])
+
+    tot_rev, _ = jax.lax.associative_scan(seg_copy, (rev, rend), axis=-1)
+    return tot_rev[..., ::-1]
+
+
+def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
+    """Sort-merge formulation of the peaks/output-map builder.
+
+    The windowed formulation (_peaks_and_map_batched below) extracts a
+    dynamic [n, L] window per (row, 64-bin chunk) — ~21k vmapped
+    dynamic-slices per clip that lower to gathers and measured ~900 ms of
+    the mapped plan at bench shapes (tools/exp_map_pieces.py; TPU scatter
+    is worse still, 2.2 s).  This version never gathers or scatters:
+
+      1. run sums (peak centroids) via two segmented associative scans in
+         bin space (38 ms vs the windowed segment sum's 246 ms);
+      2. prev/next-peak-per-bin via a stable MERGE: sort the B query bins
+         (key 2b+1) against the peaks placed at their output cells (key
+         2*cell, so a peak at cell == b sorts before the query and lands
+         in the <=-side, matching k[b] = #cells <= b, reference :888-891),
+         then directional last-valid fills, then a stable 1-bit sort that
+         compacts the queries back in bin order;
+      3. the smoothstep interpolation tail shared with the windowed path.
+
+    Values match the windowed path to float reassociation (the centroid
+    sums accumulate in scan-tree order; the reference's own sequential
+    order differs from BOTH — docs/PARITY.md chaos taxonomy).  Exact by
+    construction (no capacity windows), so violations = 0."""
+    f1 = jnp.float32
+    nB, B = energy.shape
+    above = energy > smoothed
+    start = above & jnp.concatenate(
+        [jnp.ones((nB, 1), bool), ~above[:, :-1]], axis=1)
+    b_idx = jnp.arange(B, dtype=jnp.float32)
+
+    em = jnp.where(above, energy, 0)
+    band_sum = _segmented_run_sums(b_idx[None] * em, start, above)
+    energy_sum = _segmented_run_sums(em, start, above)
+    n_peaks = jnp.sum(start.astype(jnp.int32), axis=1)             # [nB]
+
+    avg_band = band_sum / jnp.where(energy_sum == 0, f1(1), energy_sum)
+    avg_freq = spectral._band_to_freq(avg_band, consts)
+    peak_out_raw = spectral._freq_to_band(
+        spectral.map_freq(avg_freq, controls, flags), consts)      # [nB, B]
+
+    # row scalars (peak centroids/cells are increasing across runs)
+    pinf = jnp.float32(np.inf)
+    first_in = jnp.min(jnp.where(start, avg_band, pinf), axis=1)
+    first_out = jnp.min(jnp.where(start, peak_out_raw, pinf), axis=1)
+    last_in = jnp.max(jnp.where(start, avg_band, -pinf), axis=1)
+    last_out_r = jnp.max(jnp.where(start, peak_out_raw, -pinf), axis=1)
+    has = n_peaks > 0
+    last_out = jnp.where(has, last_out_r, f1(0))
+
+    cells = jnp.clip(jnp.ceil(peak_out_raw), 0, B).astype(jnp.int32)
+
+    # ---- merge peaks (at their cells) with the query bins ----
+    # Unique integer keys (no stable sort needed): (position << 13) | tag,
+    # where a peak at cell c carries tag = its source bin (< 4096) and a
+    # query at bin b carries tag = 0x1000 — so a peak with cell == b sorts
+    # BEFORE the bin-b query (k[b] counts cells <= b, reference :888-891)
+    # and equal-cell peak groups keep source order.
+    i_idx = jnp.arange(B, dtype=jnp.int32)[None]
+    key_peak = jnp.where(start, (cells << 13) | i_idx,
+                         ((B + 1) << 13))
+    key_query = (i_idx << 13) | 0x1000
+    keys = jnp.concatenate([key_peak,
+                            jnp.broadcast_to(key_query, (nB, B))], 1)
+    ninf = jnp.float32(-np.inf)
+    pinf_f = jnp.float32(np.inf)
+    # peak payloads ride as +/-inf-filled planes; both fields are
+    # INCREASING along the merged order (monotone map, ascending
+    # centroids), so the directional last/next-peak fills are plain
+    # cummax / cummin — no validity flags to carry
+    lo_src_o = jnp.concatenate([jnp.where(start, peak_out_raw, ninf),
+                                jnp.full((nB, B), ninf)], 1)
+    lo_src_i = jnp.concatenate([jnp.where(start, avg_band, ninf),
+                                jnp.full((nB, B), ninf)], 1)
+    hi_src_o = jnp.concatenate([jnp.where(start, peak_out_raw, pinf_f),
+                                jnp.full((nB, B), pinf_f)], 1)
+    hi_src_i = jnp.concatenate([jnp.where(start, avg_band, pinf_f),
+                                jnp.full((nB, B), pinf_f)], 1)
+    # query compaction key for the second sort: queries first, in bin
+    # order, peaks after
+    qb = jnp.concatenate([jnp.broadcast_to((1 << 13) | i_idx, (nB, B)),
+                          jnp.broadcast_to(i_idx, (nB, B))], 1)
+    _, lo_src_o, lo_src_i, hi_src_o, hi_src_i, qb = jax.lax.sort(
+        [keys, lo_src_o, lo_src_i, hi_src_o, hi_src_i, qb],
+        dimension=1, num_keys=1)
+    lo_o = jax.lax.cummax(lo_src_o, axis=1)
+    lo_i = jax.lax.cummax(lo_src_i, axis=1)
+    hi_o = jax.lax.cummin(hi_src_o[:, ::-1], axis=1)[:, ::-1]
+    hi_i = jax.lax.cummin(hi_src_i[:, ::-1], axis=1)[:, ::-1]
+    _, lo_o, lo_i, hi_o, hi_i = jax.lax.sort(
+        [qb, lo_o, lo_i, hi_o, hi_i], dimension=1, num_keys=1)
+    lo_v = lo_o[:, :B] > ninf
+    hi_v = hi_o[:, :B] < pinf_f
+    prev_o, prev_in_ = lo_o[:, :B], lo_i[:, :B]
+    next_o, next_in_ = hi_o[:, :B], hi_i[:, :B]
+    # the windowed path's 0-filled tables produce 0 outside valid taps
+    next_o = jnp.where(hi_v, next_o, 0)
+    next_in_ = jnp.where(hi_v, next_in_, 0)
+    prev_o = jnp.where(lo_v, prev_o, 0)
+    prev_in_ = jnp.where(lo_v, prev_in_, 0)
+
+    range_scale = f1(1) / (next_o - prev_o)
+    out_offset = prev_in_ - prev_o
+    out_scale = next_in_ - next_o - prev_in_ + prev_o
+    grad_scale = out_scale * range_scale
+    r = (b_idx[None] - prev_o) * range_scale
+    h = r * r * (3 - 2 * r)
+    pair_bin = b_idx[None] + out_offset + h * out_scale
+    pair_grad = 1 + (6 * r * (1 - r)) * grad_scale
+
+    top_start = jnp.maximum(jnp.int32(0), last_out.astype(jnp.int32))
+    is_top = jnp.arange(B)[None] >= top_start[:, None]
+    is_bottom = ~lo_v & ~is_top
+    input_bin = jnp.where(
+        is_top, b_idx[None] + (last_in - last_out)[:, None],
+        jnp.where(is_bottom, b_idx[None] + (first_in - first_out)[:, None],
+                  pair_bin))
+    freq_grad = jnp.where(is_top | is_bottom, f1(1), pair_grad)
+
+    no_peaks = ~has[:, None]
+    input_bin = jnp.where(no_peaks, b_idx[None], input_bin)
+    freq_grad = jnp.where(no_peaks, f1(1), freq_grad)
+    return input_bin, freq_grad, jnp.int32(0)
+
+
+def _peakmap_mode() -> str:
+    """Peaks/output-map builder strategy: 'merge' (sort-merge, exact, no
+    gathers/scatters — TPU default) or 'window' (per-chunk windowed taps —
+    CPU default, value-matched to the per-block engine's accumulation
+    order).  Override with SST_PEAKMAP."""
+    mode = os.environ.get("SST_PEAKMAP", "auto")
+    if mode == "auto":
+        return "merge" if jax.default_backend() != "cpu" else "window"
+    if mode not in ("merge", "window"):
+        raise ValueError("SST_PEAKMAP must be merge or window, got %r" % mode)
+    return mode
+
+
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
+    if _peakmap_mode() == "merge":
+        return _peaks_and_map_merge(energy, smoothed, controls, flags,
+                                    consts)
+    return _peaks_and_map_windowed(energy, smoothed, controls, flags,
+                                   consts, geom)
+
+
+def _peaks_and_map_windowed(energy, smoothed, controls, flags, consts, geom):
     """Batched twin of spectral._peaks_and_map over [nB, B], with the
     per-bin peak-table lookups (peak_out/peak_in at k-1 and k, :894-912)
     done as exact windowed tap selection on the MXU instead of dynamic
@@ -1690,6 +1868,23 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         if stop == "skew":
             return _stop_sum(xs_all, 4)
 
+        # Fused Pallas sweep (ops/pallas/sweep.py): recursion ring + unskew
+        # butterfly in VMEM, writing [nch, batch, GR, bands] directly —
+        # replaces run_group + unskew_group + the diagonal-major HBM buffer
+        # on the headline path.  SST_SWEEP_IMPL=xla|pallas|auto.
+        from .ops.pallas import sweep as pallas_sweep
+        impl = os.environ.get("SST_SWEEP_IMPL", "xla")
+        if impl not in ("auto", "xla", "pallas"):
+            raise ValueError("SST_SWEEP_IMPL must be auto/xla/pallas")
+        pallas_bt = int(os.environ.get("SST_PALLAS_BT", "8"))
+        use_pallas = (impl != "xla" and bands == B
+                      and batch % pallas_bt == 0
+                      and pallas_sweep.supported(longv, ch, pe_from_pi,
+                                                 pair, bands, D, K, GR))
+        if impl == "pallas" and not use_pallas:
+            raise ValueError("SST_SWEEP_IMPL=pallas unsupported at this "
+                             "configuration (see pallas.sweep.supported)")
+
         def group_body(prev_last, xs_g):
             # lane 0 (first row of the group) reads the previous group's
             # last row at bins t+1 and t+longv (zeros for group 0 — exactly
@@ -1705,6 +1900,14 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 inj = inj.reshape(D // K, K, 2, ch, 2, batch)
             else:
                 inj = inj.reshape(D // K, K, 2, ch, batch)
+            if use_pallas:
+                og = pallas_sweep.run_group(
+                    xs_g, inj, batch=batch, GR=GR, D=D, K=K, BT=pallas_bt,
+                    bands=bands, longv=longv)
+                last = og[:, :, GR - 1]
+                if bands < B:
+                    last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
+                return last[..., :B], og
             outs = run_group(xs_g, GR, inj, D)
             if emit_mode == "scan":
                 outs = jnp.transpose(outs.reshape(D, nch, batch, GR),

@@ -1,6 +1,7 @@
 """Wavefront engine: skew algebra + equivalence with the per-block scan."""
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -281,3 +282,52 @@ def test_pair_spectra_flow_end_to_end(monkeypatch, test_signal):
     pair2 = render()
     assert rel_err_db(pair, base) < -80
     assert rel_err_db(pair2, base) < -80
+
+
+def test_peaks_map_merge_matches_windowed(monkeypatch):
+    """The sort-merge peaks/output-map builder (SST_PEAKMAP=merge, the TPU
+    default) reproduces the windowed-taps builder: same math, segment sums
+    accumulated in scan-tree vs one-hot-matmul order (~1 ulp on centroids,
+    amplified only through the smoothstep tail — gate tight)."""
+    from signalsmith_stretch_tpu.models import StretchModel
+    from signalsmith_stretch_tpu import spectral as sp
+    from signalsmith_stretch_tpu.ops import scan_ops
+    rate = 8000
+    model = StretchModel.build(channels=1, sample_rate=rate, cheaper=True,
+                               in_samples=2 * rate, out_samples=2 * rate,
+                               semitones=7, tonality_hz=2000)
+    plan = model.plan
+    consts, flags, controls = plan.consts, model.flags, model.controls
+    nB = len(plan.arrays["new_spectrum"])
+    B = consts.bands
+    rng = np.random.default_rng(11)
+    energy = jnp.asarray((rng.uniform(0, 1, (nB, B)) ** 4)
+                         .astype(np.float32))
+    sm = energy
+    e = jnp.zeros(nB, jnp.float32)
+    for _ in range(2):
+        sm, e = scan_ops.iir_backward(sm, e, np.float32(consts.slew))
+        sm, e = scan_ops.iir_forward(sm, e, np.float32(consts.slew))
+    geom = wavefront._window_geometry(flags.inv_grad_bound, 7.0)
+
+    monkeypatch.setenv("SST_PEAKMAP", "window")
+    ib_w, fg_w, bad_w = jax.jit(
+        lambda en, s: wavefront._peaks_and_map_batched(
+            en, s, controls, flags, consts, geom))(energy, sm)
+    monkeypatch.setenv("SST_PEAKMAP", "merge")
+    ib_m, fg_m, bad_m = jax.jit(
+        lambda en, s: wavefront._peaks_and_map_batched(
+            en, s, controls, flags, consts, geom))(energy, sm)
+    assert int(bad_w) == 0 and int(bad_m) == 0
+    np.testing.assert_allclose(np.asarray(ib_m), np.asarray(ib_w),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fg_m), np.asarray(fg_w),
+                               rtol=0, atol=1e-3)
+    # and both against the per-block reference engine's builder
+    ib_r, fg_r = jax.vmap(
+        lambda en, s: sp._peaks_and_map(en, s, controls, flags, consts))(
+            energy, sm)
+    np.testing.assert_allclose(np.asarray(ib_m), np.asarray(ib_r),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fg_m), np.asarray(fg_r),
+                               rtol=0, atol=1e-3)

@@ -220,8 +220,57 @@ def extra_main():
         print(f"{name:10s} {dt*1e3:9.1f} ms (compile {cs:.0f}s)", flush=True)
 
 
+def slices_main():
+    """Isolate the vmapped-dynamic-slice cost of the windowed rank+taps:
+    [nB x nchunk] window slices of [n, L] per clip, batch-vmapped."""
+    batch = int(os.environ.get("SST_PROF_BATCH", "32"))
+    nB = int(os.environ.get("SST_NB", "334"))
+    B = int(os.environ.get("SST_BANDS", "4096"))
+    nseg = B // 2 + 2
+    C, L = wavefront._rank_geometry(4.0)
+    nchunk = -(-B // C)
+    n = 2
+    print(f"C={C} L={L} nchunk={nchunk} slices/clip={nB*nchunk}", flush=True)
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        tz = jax.random.normal(k1, (batch, nB, n, nseg + 2 * L), jnp.float32)
+        a = jnp.sort(jax.random.randint(k2, (batch, nB, nchunk), 0, nseg,
+                                        jnp.int32), axis=-1)
+        return tz, a
+
+    tz, a = jax.block_until_ready(gen(jax.random.PRNGKey(0)))
+
+    def slices(tzb, ab):
+        def one(tzr, ar):      # [nB, n, nseg+2L], [nB, nchunk]
+            def slt(row, s0):
+                return jax.lax.dynamic_slice(row, (0, s0 + L), (n, L))
+            w = jax.vmap(jax.vmap(slt, in_axes=(None, 0)),
+                         in_axes=(0, 0))(tzr, ar)
+            return jnp.sum(w)
+        return jnp.sum(jax.vmap(one)(tzb, ab))
+
+    def onehot_einsum(tzb, ab):
+        # the M-matmul side at the same shapes (kloc fake)
+        def one(tzr, ar):
+            kloc = (ar[:, :, None] + jnp.arange(C)[None, None]) % L
+            wio = jnp.arange(L, dtype=jnp.int32)
+            M = jnp.where(kloc[..., None] == wio, jnp.float32(1),
+                          jnp.float32(0))      # [nB, nchunk... wait
+            return jnp.sum(M)
+        return jnp.sum(jax.vmap(one)(tzb[..., :1, :1] * 0 + 1.0,
+                                     ab))
+
+    for name, fn in [("slices", slices)]:
+        dt, cs = timed(jax.jit(fn), tz, a)
+        print(f"{name:10s} {dt*1e3:9.1f} ms (compile {cs:.0f}s)", flush=True)
+
+
 if __name__ == "__main__":
-    if os.environ.get("SST_MAP_EXTRA") == "1":
+    if os.environ.get("SST_MAP_SLICES") == "1":
+        slices_main()
+    elif os.environ.get("SST_MAP_EXTRA") == "1":
         extra_main()
     else:
         main()

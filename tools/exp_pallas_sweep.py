@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("SST_PALLAS_INTERP") == "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"      # sitecustomize sets axon
+    jax.config.update("jax_platforms", "cpu")
 if jax.default_backend() != "cpu":
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -252,6 +255,7 @@ def pallas_run_group(xs, inj, batch, GR, D, K, BT):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=os.environ.get("SST_PALLAS_INTERP") == "1",
     )(xs, inj_r, sh_const)
     return out
 
@@ -381,8 +385,19 @@ def pallas_run_group2(xs, inj, batch, GR, D, K, BT):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=os.environ.get("SST_PALLAS_INTERP") == "1",
     )(xs, inj_r, sh_const)
     return out
+
+
+# v3 (fused sweep + unskew) now lives in the product tree; the tool
+# measures the production kernel directly.
+from signalsmith_stretch_tpu.ops.pallas import sweep as _prod_sweep
+
+
+def pallas_run_group3(xs, inj, batch, GR, D, K, BT, bands):
+    return _prod_sweep.run_group(xs, inj, batch=batch, GR=GR, D=D, K=K,
+                                 BT=BT, bands=bands, longv=longv)
 
 
 def main():
@@ -423,6 +438,26 @@ def main():
     dt, cs = timed(lambda x, i: jnp.sum(jnp.abs(f_pal2(x, i))), xs, inj)
     print(f"pallas v2  : {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
 
+    bands = 4096
+    BT3 = int(os.environ.get("SST_PALLAS_BT3", "8"))
+    f_pal3 = jax.jit(functools.partial(pallas_run_group3, batch=batch,
+                                       GR=GR, D=D, K=K, BT=BT3, bands=bands))
+    dt, cs = timed(lambda x, i: jnp.sum(jnp.abs(f_pal3(x, i))), xs, inj)
+    print(f"pallas v3  : {dt*1e3:7.1f} ms (compile {cs:.0f}s) [BT={BT3}, "
+          f"fused unskew]", flush=True)
+
+    def ref_unskewed(x, i):
+        buf = ref_run_group(x, i, batch=batch, GR=GR, D=D, K=K)
+        flat = buf.reshape(nch, batch, GR * D)
+        tail = jnp.zeros((nch, batch, GR * step), buf.dtype)
+        view = jnp.concatenate([flat, tail], 2).reshape(
+            nch, batch, GR, D + step)
+        return view[..., :bands]
+
+    f_refu = jax.jit(ref_unskewed)
+    dt, cs = timed(lambda x, i: jnp.sum(jnp.abs(f_refu(x, i))), xs, inj)
+    print(f"ref+unskew : {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
+
     if os.environ.get("SST_SKIP_REF") != "1":
         a = np.asarray(f_ref(xs, inj))
         b = np.asarray(f_pal(xs, inj))
@@ -433,6 +468,10 @@ def main():
               f"bitexact={np.array_equal(a, b)}", flush=True)
         print(f"v2 bitexact={np.array_equal(a, b2)} "
               f"(max {np.abs(a - b2).max():.3e})", flush=True)
+        au = np.asarray(f_refu(xs, inj))
+        b3 = np.asarray(f_pal3(xs, inj))
+        print(f"v3 bitexact={np.array_equal(au, b3)} "
+              f"(max {np.abs(au - b3).max():.3e})", flush=True)
 
 
 if __name__ == "__main__":
