@@ -49,15 +49,17 @@ def interp_multi(planes, pos_sets, L):
     planes_p = jnp.pad(planes, ((0, 0), (0, 0), (PADF, W0p - PADF - W0)))
     planes_t = planes_p.reshape(nB, n, W0p // 128, 128)
 
-    li = jnp.stack([jnp.floor(p).astype(jnp.int32) for p, _, _ in pos_sets])
+    li = jnp.stack([jnp.floor(p).astype(jnp.int32) for p, _, _ in pos_sets],
+                   axis=1)                               # [nB, nsets, B]
     frac = jnp.stack([(p - jnp.floor(p)).astype(jnp.float32)
-                      for p, _, _ in pos_sets])          # [nsets, nB, B]
+                      for p, _, _ in pos_sets], axis=1)
 
     nout = sum((2 * nsel if taps else nsel) for _, nsel, taps in pos_sets)
     statics = tuple((nsel, taps) for _, nsel, taps in pos_sets)
 
     out, bad = _call(planes_t, li, frac, statics=statics, n=n, W0=W0,
                      W0p=W0p, PADF=PADF, WT=WT, B=B, nout=nout)
+    bad = bad[:, 0, 0]
     results, o = [], 0
     for _, nsel, taps in pos_sets:
         if taps:
@@ -72,15 +74,14 @@ def interp_multi(planes, pos_sets, L):
 @functools.partial(jax.jit, static_argnames=("statics", "n", "W0", "W0p",
                                              "PADF", "WT", "B", "nout"))
 def _call(planes_t, li, frac, *, statics, n, W0, W0p, PADF, WT, B, nout):
-    nsets = li.shape[0]
-    nB = li.shape[1]
+    nB, nsets = li.shape[:2]
     nchunk = B // CB
 
     def kernel(pt_ref, li_ref, fr_ref, out_ref, bad_ref):
         wio = jax.lax.broadcasted_iota(jnp.int32, (WT, CB), 0)
         total_bad = jnp.int32(0)
         for c in range(nchunk):
-            li_cs = [li_ref[k, 0, c * CB:(c + 1) * CB] for k in range(nsets)]
+            li_cs = [li_ref[0, k, c * CB:(c + 1) * CB] for k in range(nsets)]
             amin = functools.reduce(
                 jnp.minimum, [jnp.min(x) for x in li_cs])
             ws = jnp.clip(((amin - 1 + PADF) >> 7) << 7, 0, W0p - WT)
@@ -111,11 +112,13 @@ def _call(planes_t, li, frac, *, statics, n, W0, W0p, PADF, WT, B, nout):
                             c * CB:(c + 1) * CB] = hi
                     o += 2 * nsel
                 else:
-                    fc = fr_ref[k, 0, c * CB:(c + 1) * CB][None]
+                    fc = fr_ref[0, k, c * CB:(c + 1) * CB][None]
                     out_ref[0, o:o + nsel, c * CB:(c + 1) * CB] = (
                         lo + (hi - lo) * fc)
                     o += nsel
-        bad_ref[0] = total_bad
+        # a scalar per row, but blocks must tile (8, 128): broadcast into
+        # one VMEM tile; callers read [, 0, 0]
+        bad_ref[0] = jnp.full((8, 128), total_bad, jnp.int32)
 
     out, bad = pl.pallas_call(
         kernel,
@@ -123,23 +126,23 @@ def _call(planes_t, li, frac, *, statics, n, W0, W0p, PADF, WT, B, nout):
         in_specs=[
             pl.BlockSpec((1, n, W0p // 128, 128), lambda r: (r, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsets, 1, B), lambda r: (0, r, 0),
+            pl.BlockSpec((1, nsets, B), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsets, 1, B), lambda r: (0, r, 0),
+            pl.BlockSpec((1, nsets, B), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, nout, B), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda r: (r,),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 128), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nB, nout, B), jnp.float32),
-            jax.ShapeDtypeStruct((nB,), jnp.int32),
+            jax.ShapeDtypeStruct((nB, 8, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=os.environ.get("SST_PALLAS_INTERP") == "1",
     )(planes_t, li, frac)

@@ -215,7 +215,7 @@ def run_group(xs, inj, *, batch, GR, D, K, BT, bands, longv):
         scratch_shapes=[pltpu.VMEM((longv, 2, nch, BT, GR), jnp.float32),
                         pltpu.VMEM((nch, RW, BT, GR), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=os.environ.get("SST_PALLAS_INTERP") == "1",
     )(xs, inj_r, sh_const)

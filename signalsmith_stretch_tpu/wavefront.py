@@ -162,13 +162,20 @@ def interp_planes_window_multi(planes: jnp.ndarray, pos_sets,
     selects lane L-1 whose shifted value is the same 0 the hi mask produced.
     Halves the selection-matrix bytes per set vs a [2C, L] lo+hi matrix.
     """
-    impl = os.environ.get("SST_INTERP_IMPL", "xla")
-    if impl not in ("xla", "pallas"):
-        raise ValueError("SST_INTERP_IMPL must be xla or pallas")
-    if (impl == "pallas" and jax.default_backend() != "cpu"
+    impl = os.environ.get("SST_INTERP_IMPL", "auto")
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError("SST_INTERP_IMPL must be auto, xla or pallas")
+    if (impl != "xla" and jax.default_backend() != "cpu"
             and pos_sets[0][0].shape[1] % 128 == 0):
+        # Pallas windowed interp (ops/pallas/interp.py): bit-exact vs this
+        # path (tests/test_pallas_interp.py) and keeps the windows and
+        # selection matrices in VMEM — mapped plan 1231 -> 915 ms at bench
+        # shapes (tools/profile_stages SST_PROF_MAPPED=1)
         from .ops.pallas import interp as pallas_interp
         return pallas_interp.interp_multi(planes, pos_sets, L)
+    if impl == "pallas":
+        raise ValueError("SST_INTERP_IMPL=pallas unsupported here "
+                         "(CPU backend or B %% 128 != 0)")
 
     nB, n, W0 = planes.shape
     B = pos_sets[0][0].shape[1]
