@@ -542,55 +542,16 @@ def _sweep_scan(short_twist, long_twist, phase_up, pe_max, pi_max, max_ch,
     return outputs.T  # [ch, B]
 
 
-@functools.lru_cache(maxsize=None)
-def _pallas_sweep_fn(ch: int, longv: int):
-    """custom_vmap wrapper so the batched Pallas kernel serves the vmapped
-    per-clip engine (batch lands in the VPU lane dimension)."""
-    from jax import custom_batching
-
-    from .ops.pallas.prediction import main_prediction_sweep
-
-    @custom_batching.custom_vmap
-    def fn(st, lt, pu, pe_m, pi_m, mc, ct, pe_all, pi_all):
-        out = main_prediction_sweep(
-            st[None], lt[None], pu[None], pe_m[None], pi_m[None], mc[None],
-            ct[:, None], pe_all[:, None], pi_all[:, None],
-            ch=ch, longv=longv)
-        return out[:, 0]
-
-    @fn.def_vmap
-    def _rule(axis_size, in_batched, st, lt, pu, pe_m, pi_m, mc, ct,
-              pe_all, pi_all):
-        def ensure(x, batched):
-            return x if batched else jnp.broadcast_to(
-                x[None], (axis_size,) + x.shape)
-        st, lt, pu, pe_m, pi_m, mc = (
-            ensure(a, b) for a, b in zip(
-                (st, lt, pu, pe_m, pi_m, mc), in_batched[:6]))
-        ct, pe_all, pi_all = (
-            jnp.moveaxis(ensure(a, b), 1, 0) if b else
-            jnp.broadcast_to(a[:, None], (a.shape[0], axis_size, a.shape[1]))
-            for a, b in zip((ct, pe_all, pi_all), in_batched[6:]))
-        out = main_prediction_sweep(st, lt, pu, pe_m, pi_m, mc, ct, pe_all,
-                                    pi_all, ch=ch, longv=longv)
-        return jnp.moveaxis(out, 1, 0), True  # [N, ch, B]
-
-    return fn
-
-
 def _run_sweep(short_twist, long_twist, phase_up, pe_max, pi_max, max_ch,
                ch_twist, pred_energy, pred_input, *, ch, longv):
-    # The Pallas sweep kernel is bit-exact vs the scan but DISABLED by default:
-    # on this relay-attached TPU environment, Mosaic DMA runs ~500x below HBM
-    # speed (~200 MB/s measured), making the kernel slower than the scan.  On
-    # directly-attached TPUs set SST_USE_PALLAS_SWEEP=1.  The production fast
-    # path is the wavefront engine (wavefront.py), which needs no kernel.
-    import os
-    if (os.environ.get("SST_USE_PALLAS_SWEEP") == "1"
-            and jax.default_backend() == "tpu"):
-        fn = _pallas_sweep_fn(ch, longv)
-        return fn(short_twist, long_twist, phase_up, pe_max, pi_max,
-                  max_ch.astype(jnp.int32), ch_twist, pred_energy, pred_input)
+    # A per-block Pallas prediction kernel (ops/pallas/prediction.py, removed
+    # in round 4 — see git history @ 69726a8) was bit-exact vs this scan but
+    # slower everywhere measured: Mosaic DMA runs ~200 MB/s on the
+    # relay-attached TPU, and the round-4 fused batched variant measured
+    # 399.7 ms vs 125.8 ms for the XLA wavefront at bench shapes (docs/
+    # DESIGN.md "Pallas verdicts").  The production fast path is the
+    # wavefront engine (wavefront.py), which needs no kernel; this scan
+    # serves the per-block scan engine.
     return _sweep_scan(short_twist, long_twist, phase_up, pe_max, pi_max,
                        max_ch, ch_twist, pred_energy, pred_input,
                        ch=ch, longv=longv)

@@ -1875,22 +1875,13 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         if stop == "skew":
             return _stop_sum(xs_all, 4)
 
-        # Fused Pallas sweep (ops/pallas/sweep.py): recursion ring + unskew
-        # butterfly in VMEM, writing [nch, batch, GR, bands] directly —
-        # replaces run_group + unskew_group + the diagonal-major HBM buffer
-        # on the headline path.  SST_SWEEP_IMPL=xla|pallas|auto.
-        from .ops.pallas import sweep as pallas_sweep
-        impl = os.environ.get("SST_SWEEP_IMPL", "xla")
-        if impl not in ("auto", "xla", "pallas"):
-            raise ValueError("SST_SWEEP_IMPL must be auto/xla/pallas")
-        pallas_bt = int(os.environ.get("SST_PALLAS_BT", "8"))
-        use_pallas = (impl != "xla" and bands == B
-                      and batch % pallas_bt == 0
-                      and pallas_sweep.supported(longv, ch, pe_from_pi,
-                                                 pair, bands, D, K, GR))
-        if impl == "pallas" and not use_pallas:
-            raise ValueError("SST_SWEEP_IMPL=pallas unsupported at this "
-                             "configuration (see pallas.sweep.supported)")
+        # A fused Pallas sweep kernel (recursion ring + unskew butterfly in
+        # VMEM) was built and measured here in round 4: sweep-only 399.7 ms
+        # vs 125.8 ms for this XLA scan at bench shapes (batch 32, nB 418,
+        # B 4096), plus a 405 s Mosaic compile.  The sequential
+        # (batch-tile, chunk) grid serializes what the scan overlaps, so it
+        # was removed — see docs/DESIGN.md "Pallas verdicts" and git history
+        # (ops/pallas/sweep.py @ 69726a8) for the kernel and numbers.
 
         def group_body(prev_last, xs_g):
             # lane 0 (first row of the group) reads the previous group's
@@ -1907,14 +1898,6 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 inj = inj.reshape(D // K, K, 2, ch, 2, batch)
             else:
                 inj = inj.reshape(D // K, K, 2, ch, batch)
-            if use_pallas:
-                og = pallas_sweep.run_group(
-                    xs_g, inj, batch=batch, GR=GR, D=D, K=K, BT=pallas_bt,
-                    bands=bands, longv=longv)
-                last = og[:, :, GR - 1]
-                if bands < B:
-                    last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
-                return last[..., :B], og
             outs = run_group(xs_g, GR, inj, D)
             if emit_mode == "scan":
                 outs = jnp.transpose(outs.reshape(D, nch, batch, GR),
