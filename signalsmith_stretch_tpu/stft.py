@@ -130,6 +130,65 @@ def _dft_fused_mats(fft_samples: int):
     return T1, T2, V1, V2
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_onepass_mats(fft_samples: int):
+    """Interleaved-constant matrices for the ONE-einsum-per-stage DFT.
+
+    The split formulation (xr = ar@T1 - ai@T2; xi = ar@T2 + ai@T1) issues
+    four dot_generals per stage: each reads its [b, K1, N2] operand from HBM
+    separately and materializes a partial product before the add/sub — the
+    forward DFT measured ~61 ms at bench shapes against a ~22 ms memory
+    floor.  Interleaving re/im into the constants makes each stage ONE real
+    einsum with identical FLOPs (the 2x wider contraction has half the
+    einsums), so every operand is read once and no partials exist.
+
+      stage 1: D1I[s*N1+k, n1]     = (Re, Im)[s] dft1[k, n1]
+               A[b, s*N1+k, n2]    = einsum(D1I, y)        # y real
+      stage 2: W2[s, k, m, t*K2+q] = [[T1, T2], [-T2, T1]][s][t]
+               X[b, t*K2+q, k]     = einsum(A', W2)  # A' free 4-dim view
+      xr, xi = X[:, :K2], X[:, K2:]  (bands index = k1 + N1*k2, as before)
+
+    Inverse mirrors it: WI1[u, q, s*N2+m] = [[i2r, i2i], [-i2i, i2r]][u][s]
+    contracts the stacked (re, im) spectra to C[b, k, s*N2+m]; stage 2
+    contracts (s, k) against VI[s, k, n1, n2] = (V1, -V2)[s] with n2 as the
+    element-wise batch dim.  Values differ from the split formulation only
+    by reassociation (the sub/add becomes part of the MXU accumulation)."""
+    N = fft_samples
+    N1, N2, dft1, _, _, idft2, _, _ = _dft_mats(N)
+    T1, T2, V1, V2 = _dft_fused_mats(N)
+    K2 = N2 // 2
+    f = np.float32
+    D1I = np.empty((2 * N1, N1), f)                        # [s*N1+k, n1]
+    D1I[:N1] = dft1.real.astype(f)                         # s-major: the
+    D1I[N1:] = dft1.imag.astype(f)    # [b, 2, K1, N2] view of A is free
+    # under TPU (8, 128) tiling, unlike the k-major [b, K1, 2*N2] merge
+    # which relayouts 3.5 GB (measured: 25.0 vs 15.5 ms forward DFT,
+    # tools/exp_dft_onepass.py)
+    W2 = np.empty((2, N1, N2, 2 * K2), f)                  # [s, k, m, t|q]
+    W2[0, :, :, :K2] = T1
+    W2[0, :, :, K2:] = T2
+    W2[1, :, :, :K2] = -T2
+    W2[1, :, :, K2:] = T1
+    i2r = idft2.real.astype(f)                             # [K2, N2]
+    i2i = idft2.imag.astype(f)
+    WI1 = np.empty((2, K2, 2 * N2), f)                     # [u, q, s|m]
+    WI1[0, :, :N2] = i2r
+    WI1[0, :, N2:] = i2i
+    WI1[1, :, :N2] = -i2i
+    WI1[1, :, N2:] = i2r
+    VI = np.stack([V1, -V2])                               # [s, K1, N1, N2]
+    return D1I, W2, WI1, VI
+
+
+def _dft_layout() -> str:
+    """'onepass' (one einsum per DFT stage, interleaved constants) or
+    'split' (separate re/im dots).  Override with SST_DFT_LAYOUT."""
+    mode = os.environ.get("SST_DFT_LAYOUT", "onepass")
+    if mode not in ("onepass", "split"):
+        raise ValueError("SST_DFT_LAYOUT must be onepass or split")
+    return mode
+
+
 def _dft_precision() -> str:
     """MXU pass count for the DFT einsums (SST_DFT_PRECISION).
 
@@ -167,12 +226,25 @@ def _matmul_dft(y: jnp.ndarray, basis: StftBasis):
     the aligned [bands] layout (b = k1 + N1*k2).
     """
     N1, N2, dft1, _, _, _, _, _ = _dft_mats(basis.fft_samples)
-    T1, T2, _, _ = _dft_fused_mats(basis.fft_samples)
     shape = y.shape[:-1]
     M = y.shape[-1]
     assert M % N2 == 0 and M <= basis.fft_samples
     n1u = M // N2
+    K2 = N2 // 2
     y = y.reshape(-1, n1u, N2)                   # n = n1*N2 + n2, minor 128
+    if _dft_layout() == "onepass":
+        # one einsum per stage, re/im interleaved into the constants (see
+        # _dft_onepass_mats); identical FLOPs, every operand read once
+        D1I, W2, _, _ = _dft_onepass_mats(basis.fft_samples)
+        A = jnp.einsum("Kn,bnm->bKm", jnp.asarray(D1I[:, :n1u]), y,
+                       precision=_dft_precision())     # [b, s*N1+k, N2]
+        A2 = A.reshape(-1, 2, N1, N2)                  # free view (s major)
+        X = jnp.einsum("bskm,skmQ->bQk", A2, jnp.asarray(W2),
+                       precision=_dft_precision())     # [b, t|q, k]
+        xr = X[:, :K2].reshape(shape + (basis.bands,))
+        xi = X[:, K2:].reshape(shape + (basis.bands,))
+        return xr, xi
+    T1, T2, _, _ = _dft_fused_mats(basis.fft_samples)
     # stage 1 (real input): contract n1 -> A[b, k1, n2]
     dot = functools.partial(jnp.einsum, "kn,bnm->bkm",
                             precision=_dft_precision())
@@ -200,12 +272,21 @@ def _matmul_idft(sr: jnp.ndarray, si: jnp.ndarray, basis: StftBasis,
     beyond M/N2 are dropped, skipping ~30% of stage-2 output bytes at
     bench shapes.  Emitted values are bit-identical."""
     N1, N2, _, _, _, idft2, _, _ = _dft_mats(basis.fft_samples)
-    _, _, V1, V2 = _dft_fused_mats(basis.fft_samples)
     shape = sr.shape[:-1]
     K2 = N2 // 2
     n1u = N1 if not out_len else min(N1, -(-out_len // N2))
     sr = sr.reshape(-1, K2, N1)   # free view [b, k2, k1] of the aligned input
     si = si.reshape(-1, K2, N1)
+    if _dft_layout() == "onepass":
+        _, _, WI1, VI = _dft_onepass_mats(basis.fft_samples)
+        S2 = jnp.stack([sr, si], axis=1)               # [b, u, k2, k1]
+        C = jnp.einsum("buqk,uqM->bkM", S2, jnp.asarray(WI1),
+                       precision=_dft_precision())     # [b, k1, s|m]
+        C2 = C.reshape(-1, N1, 2, N2)                  # free view
+        y = jnp.einsum("bksm,sknm->bnm", C2, jnp.asarray(VI[:, :, :n1u]),
+                       precision=_dft_precision())     # batch dim m
+        return 2.0 * y.reshape(shape + (n1u * N2,))
+    _, _, V1, V2 = _dft_fused_mats(basis.fft_samples)
     # stage 1: contract k2 -> C[b, k1, n2] (minor 128)
     i2r, i2i = jnp.asarray(idft2.real), jnp.asarray(idft2.imag)  # [K2, N2]
     cr, ci = _cedot("qm,bqk->bkm", i2r, i2i, sr, si)
