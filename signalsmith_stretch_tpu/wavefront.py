@@ -1853,8 +1853,16 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                         row, ((0, 0), (0, 0), (off, D - off - B))))
                 return jnp.stack(frames, 0)                 # [GR,batch,P,D]
 
-            rows = jnp.stack([group_rows(g) for g in range(nG)])
-            sk_all = jnp.transpose(rows, (0, 4, 3, 2, 1))
+            def xs_group(g):
+                # per-group slab: rows -> transpose -> diagonal-chunk view.
+                # Built INSIDE the python group loop below so only one
+                # group's rows/sk double-live at a time (all-groups upfront
+                # double-lives ~7.8 GB at bench shapes and made batch 48
+                # superlinear: sweep 124.6 -> 211.5 ms for 1.5x the data)
+                sk_g = jnp.transpose(group_rows(g), (3, 2, 1, 0))
+                return sk_g.reshape(D // K, K, P, batch, GR)
+
+            sk_all = None
         else:
             def skew_rows8(_, j):
                 blk = jax.lax.dynamic_slice(packed, (0, 0, j * 8, 0),
@@ -1871,8 +1879,15 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                                    jnp.arange(nBp // 8, dtype=jnp.int32))
             rows = rows.reshape(nG, GR, batch, P, D)
             sk_all = jnp.transpose(rows, (0, 4, 3, 2, 1))
-        xs_all = sk_all.reshape(nG, D // K, K, P, batch, GR)
+        if sk_all is None:
+            xs_all = None
+        else:
+            xs_all = sk_all.reshape(nG, D // K, K, P, batch, GR)
+            xs_group = lambda g: xs_all[g]              # noqa: E731
         if stop == "skew":
+            if xs_all is None:
+                return _stop_sum(jnp.stack([xs_group(g) for g in range(nG)]),
+                                 4)
             return _stop_sum(xs_all, 4)
 
         # A fused Pallas sweep kernel (recursion ring + unskew butterfly in
@@ -1919,8 +1934,18 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         if nG == 1:
             # monolithic: skip the group scan (a nested scan costs real
             # LLVM/XLA compile time for zero runtime benefit at nG=1)
-            _, og = group_body(carry0, xs_all[0])
+            _, og = group_body(carry0, xs_group(0))
             ogs = og[None]
+        elif xs_all is None:
+            # static skew: python loop so each group's slab (rows + sk) is
+            # built just before its scan and freed after — a lax.scan over
+            # a pre-built xs_all materializes every group's xs upfront
+            carry = carry0
+            og_list = []
+            for g in range(nG):
+                carry, og = group_body(carry, xs_group(g))
+                og_list.append(og)
+            ogs = jnp.stack(og_list)
         else:
             _, ogs = jax.lax.scan(group_body, carry0, xs_all)
         if stop == "scan":             # [nG, nch, batch, GR, D] raw diagonals
