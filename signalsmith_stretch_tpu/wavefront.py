@@ -989,32 +989,39 @@ def _plan_tail_pair(sp, pv, arrays, flags, consts, tf):
           [(ie[0][:, c], ie[1][:, c]) for c in range(ch)]]
     ld = [_pmap(lambda z: _interp_shift_static(z, ltf), pi_c) for pi_c in
           [(ie[0][:, c], ie[1][:, c]) for c in range(ch)]]
-    us = [_pmap(lambda z: _shift_up(z, 1), x) for x in sd]
-    ul = [_pmap(lambda z: _shift_up(z, longv), x) for x in ld]
 
     mc = (jnp.zeros((nB, B), jnp.int32) if ch == 1 else
           jnp.argmax(jnp.stack(pe, 1), axis=1).astype(jnp.int32))
-    pi_max = _psel(mc, pi)
-    short_down = _psel(mc, sd)
-    long_down = _psel(mc, ld)
-    up_short = _psel(mc, us)
-    up_long = _psel(mc, ul)
 
     b_idx = jnp.arange(B)
 
     def mask(z, cond):
         return _pmap(lambda x: jnp.where(cond, x, 0), z)
 
-    d1 = mask(_pmulc(pi_max, short_down), b_idx > 0)
-    d2 = mask(_pmulc(pi_max, long_down), b_idx >= longv)
+    # PRODUCT-FIRST vote build (round 5): every factor of each vote
+    # coefficient is shifted by the same offset and selected with the same
+    # mc[b], so the per-channel products are formed UNSHIFTED and a single
+    # shift + select produces the coefficient — one plane materialization
+    # per vote instead of three shifted operands + three selects each
+    # (shift_up's concat is a full-plane copy; this cuts ~16 of them at
+    # bench shapes).  Bit-identical: the float ops per bin are unchanged
+    # (values at bin b come from bin b+shift either way), the shift's
+    # zero-filled tail bins are exactly the bins the reference masks to
+    # zero (b >= B-1 / B-longv, signalsmith-stretch.h:764-786), and
+    # select-then-multiply == multiply-then-select under one mc.
+    d1 = mask(_psel(mc, [_pmulc(pi[c], sd[c]) for c in range(ch)]),
+              b_idx > 0)
+    d2 = mask(_psel(mc, [_pmulc(pi[c], ld[c]) for c in range(ch)]),
+              b_idx >= longv)
 
-    pi_up1 = _psel(mc, [_pmap(lambda z: _shift_up(z, 1), p) for p in pi])
-    pi_upl = _psel(mc, [_pmap(lambda z: _shift_up(z, longv), p) for p in pi])
-    c1_up1 = _psel(mc, [_pmap(lambda z: _shift_up(z, 1), p) for p in c1])
-    c1_upl = _psel(mc, [_pmap(lambda z: _shift_up(z, longv), p) for p in c1])
-    # a = c1_up * conj(pi_up * conj(up_vote))
-    a1 = mask(_pmulc(c1_up1, _pmulc(pi_up1, up_short)), b_idx < B - 1)
-    a2 = mask(_pmulc(c1_upl, _pmulc(pi_upl, up_long)), b_idx < B - longv)
+    # a = c1_up * conj(pi_up * conj(up_vote)) with every factor up-shifted
+    t1 = [_pmulc(c1[c], _pmulc(pi[c], sd[c])) for c in range(ch)]
+    t2 = [_pmulc(c1[c], _pmulc(pi[c], ld[c])) for c in range(ch)]
+    a1 = mask(_psel(mc, [_pmap(lambda z: _shift_up(z, 1), t) for t in t1]),
+              b_idx < B - 1)
+    a2 = mask(_psel(mc, [_pmap(lambda z: _shift_up(z, longv), t)
+                         for t in t2]),
+              b_idx < B - longv)
 
     return SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
                        pe=tuple(pe), pi=tuple(pi))
@@ -1767,7 +1774,14 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         def run_group(xs, rows_n, inj, D):
             """inj: [S, K, 2, ch, batch] complex lane-0 injections
             (pair mode: [S, K, 2, ch, 2, batch] f32).
-            Returns [nch, batch, rows_n, D] (dus) or [D, ...] ys (scan)."""
+            Returns [batch, nch, rows_n, D] (dus) or [D, ...] ys (scan).
+            BATCH-MAJOR, RI-MAJOR EMISSION (round 5): the emitted plane
+            index is ri*ch + c (pair mode) and batch leads, so the final
+            output buffer IS the custom_vmap result layout — the (re, im)
+            halves are contiguous axis-1 views and no post-sweep stack /
+            major transpose / strided de-interleave pass exists (those
+            three passes measured ~30 ms of round 4's 44.6 ms
+            unskew+transpose, tools/exp_sweep_pieces.py)."""
             dus = emit_mode == "dus"
 
             def body(carry, xy):
@@ -1786,7 +1800,9 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                         emitted.append(outs)
                     ring2 = jnp.stack(ring_list, 0)
                     em = jnp.stack(emitted, 0)      # [K, ch, 2, batch, rows]
-                    em_f = em.reshape(K, nch, batch, rows_n)
+                    # ri-major plane order: nch index = ri*ch + c
+                    em_f = jnp.transpose(em, (0, 2, 1, 3, 4)).reshape(
+                        K, nch, batch, rows_n)
                 else:
                     x = unpack(row)
                     ring_list = [[ring[l, c] for c in range(ch)]
@@ -1802,7 +1818,7 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                     em_f = jnp.stack(emitted, axis=0)  # [K, ch, batch, rows]
                 if not dus:
                     return ring2, em_f
-                win = jnp.transpose(em_f, (1, 2, 3, 0))  # [nch,b,rows,K]
+                win = jnp.transpose(em_f, (2, 1, 3, 0))  # [b,nch,rows,K]
                 buf2 = jax.lax.dynamic_update_slice(buf, win, (0, 0, 0, joff))
                 return (ring2, buf2), None
 
@@ -1811,7 +1827,7 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             else:
                 ring0 = jnp.zeros((longv, ch, batch, rows_n), a1_leaf.dtype)
             if dus:
-                buf0 = jnp.zeros((nch, batch, rows_n, D),
+                buf0 = jnp.zeros((batch, nch, rows_n, D),
                                  jnp.float32 if pair else a1_leaf.dtype)
                 offs = jnp.arange(D // K, dtype=jnp.int32) * K
                 (_, buf), _ = jax.lax.scan(body, (ring0, buf0),
@@ -1821,11 +1837,11 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return outs
 
         def unskew_group(skc, rows_n, D):
-            """[nch, batch, rows_n, D] -> [nch, batch, rows_n, bands]."""
-            flat = skc.reshape(nch, batch, rows_n * D)
-            tail = jnp.zeros((nch, batch, rows_n * step), skc.dtype)
+            """[batch, nch, rows_n, D] -> [batch, nch, rows_n, bands]."""
+            flat = skc.reshape(batch, nch, rows_n * D)
+            tail = jnp.zeros((batch, nch, rows_n * step), skc.dtype)
             view = jnp.concatenate([flat, tail], 2).reshape(
-                nch, batch, rows_n, D + step)
+                batch, nch, rows_n, D + step)
             return view[..., :bands]
 
         nG = nBp // GR
@@ -1903,64 +1919,87 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             # last row at bins t+1 and t+longv (zeros for group 0 — exactly
             # the zero head the monolithic shift_k used for row 0; out of
             # range -> 0, those vote coefficients are zero)
-            pl = jnp.moveaxis(prev_last, -1, 0)         # [B, nch, batch]
+            pl = jnp.transpose(prev_last, (2, 1, 0))    # [B, nch, batch]
             z = jnp.zeros((D + longv, nch, batch), pl.dtype)
             plp = jax.lax.dynamic_update_slice(z, pl, (0, 0, 0))
             inj = jnp.stack([plp[1:D + 1], plp[longv:D + longv]],
                             axis=1)                     # [D, 2, nch, batch]
-            if pair:   # [D, 2, ch, 2, batch]: nch index = c*2 + (re|im)
-                inj = inj.reshape(D, 2, ch, 2, batch)
+            if pair:   # nch index = ri*ch + c -> [D, 2, ch, 2, batch]
+                inj = jnp.transpose(inj.reshape(D, 2, 2, ch, batch),
+                                    (0, 1, 3, 2, 4))
                 inj = inj.reshape(D // K, K, 2, ch, 2, batch)
             else:
                 inj = inj.reshape(D // K, K, 2, ch, batch)
             outs = run_group(xs_g, GR, inj, D)
             if emit_mode == "scan":
                 outs = jnp.transpose(outs.reshape(D, nch, batch, GR),
-                                     (1, 2, 3, 0))     # [nch,batch,GR,D]
+                                     (2, 1, 3, 0))     # [batch,nch,GR,D]
             if stop == "scan":     # profiling: raw diagonals, minimal carry
                 og = unskew_group(outs[:, :, GR - 1:GR], 1, D)
                 last = og[:, :, 0]
                 if bands < B:
                     last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
                 return last[..., :B], outs
-            og = unskew_group(outs, GR, D)             # [nch,batch,GR,bands]
+            og = unskew_group(outs, GR, D)             # [batch,nch,GR,bands]
             last = og[:, :, GR - 1]
             if bands < B:
                 last = jnp.pad(last, ((0, 0), (0, 0), (0, B - bands)))
             return last[..., :B], og
 
-        carry0 = jnp.zeros((nch, batch, B),
+        carry0 = jnp.zeros((batch, nch, B),
                            jnp.float32 if pair else a1_leaf.dtype)
+        out_dt = jnp.float32 if pair else a1_leaf.dtype
+        if stop == "scan":             # [nG, batch, nch, GR, D] raw diagonals
+            if nG == 1:
+                _, og = group_body(carry0, xs_group(0))
+                ogs = og[None]
+            elif xs_all is None:
+                carry, og_list = carry0, []
+                for g in range(nG):
+                    carry, og = group_body(carry, xs_group(g))
+                    og_list.append(og)
+                ogs = jnp.stack(og_list)
+            else:
+                _, ogs = jax.lax.scan(group_body, carry0, xs_all)
+            return _stop_sum(ogs, 1)
+        # Each group's unskewed slab DUS-writes straight into the final
+        # [batch, nch, nBp, bands] buffer (in-place through the loop): no
+        # og stack, no major transpose, and — with the ri-major plane
+        # order — the (re, im) halves below are contiguous views.
         if nG == 1:
             # monolithic: skip the group scan (a nested scan costs real
             # LLVM/XLA compile time for zero runtime benefit at nG=1)
-            _, og = group_body(carry0, xs_group(0))
-            ogs = og[None]
+            _, out = group_body(carry0, xs_group(0))
         elif xs_all is None:
             # static skew: python loop so each group's slab (rows + sk) is
             # built just before its scan and freed after — a lax.scan over
             # a pre-built xs_all materializes every group's xs upfront
-            carry = carry0
-            og_list = []
+            last = carry0
+            out = jnp.zeros((batch, nch, nBp, bands), out_dt)
             for g in range(nG):
-                carry, og = group_body(carry, xs_group(g))
-                og_list.append(og)
-            ogs = jnp.stack(og_list)
+                last, og = group_body(last, xs_group(g))
+                out = jax.lax.dynamic_update_slice(out, og, (0, 0, g * GR, 0))
         else:
-            _, ogs = jax.lax.scan(group_body, carry0, xs_all)
-        if stop == "scan":             # [nG, nch, batch, GR, D] raw diagonals
-            return _stop_sum(ogs, 2)
-        out = jnp.transpose(ogs, (1, 2, 0, 3, 4)).reshape(
-            nch, batch, nBp, bands)[:, :, :nB]
-        # swap only the two major dims (minor layout untouched — cheap);
-        # the engine consumes channels-major [ch, nB, B] downstream
+            def g_step(carry, xy):
+                last, acc = carry
+                xs_g, goff = xy
+                last, og = group_body(last, xs_g)
+                acc = jax.lax.dynamic_update_slice(acc, og, (0, 0, goff, 0))
+                return (last, acc), None
+
+            offs_g = jnp.arange(nG, dtype=jnp.int32) * GR
+            (_, out), _ = jax.lax.scan(
+                g_step,
+                (carry0, jnp.zeros((batch, nch, nBp, bands), out_dt)),
+                (xs_all, offs_g))
+        out = out[:, :, :nB]                    # [batch, nch, nB, bands]
         if pair_out:
-            re, im = (out[0::2], out[1::2]) if pair else (out.real, out.imag)
-            return (jnp.transpose(re, (1, 0, 2, 3)),
-                    jnp.transpose(im, (1, 0, 2, 3)))
+            if pair:
+                return out[:, :ch], out[:, ch:]
+            return out.real, out.imag
         if pair:
-            out = jax.lax.complex(out[0::2], out[1::2])
-        return jnp.transpose(out, (1, 0, 2, 3))    # [batch, ch, nB, bands]
+            out = jax.lax.complex(out[:, :ch], out[:, ch:])
+        return out                              # [batch, ch, nB, bands]
 
     @custom_batching.custom_vmap
     def fn(inp):
