@@ -12,6 +12,7 @@ renders an SVG (cmd/main-dev.cpp:165-208, SURVEY.md §5).  The TPU equivalents:
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Dict
 
@@ -77,30 +78,46 @@ def stage_fns(model) -> Dict[str, Callable]:
     from .. import engine, stft, wavefront
 
     plan, controls, flags = model.plan, model.controls, model.flags
+    # mirror render_exact's spectra-flow decision (engine.py): prefixes must
+    # run the SAME planner variant production runs (the pair tail on TPU) —
+    # the round-4 prefixes fed complex spectra and timed the complex planner
+    pair = (os.environ.get("SST_SPECTRA_PAIR") or
+            ("1" if jax.default_backend() != "cpu" else "0")) == "1"
+    pair = pair and os.environ.get("SST_ENGINE", "wavefront") == "wavefront"
+
+    def _cs(x):
+        """checksum of a complex array, an f32 plane, or an (re, im) pair."""
+        if isinstance(x, tuple):
+            return sum(jnp.sum(jnp.abs(v)) for v in x)
+        if jnp.iscomplexobj(x):
+            return jnp.sum(jnp.abs(x.real)) + jnp.sum(jnp.abs(x.imag))
+        return jnp.sum(jnp.abs(x))
 
     def ana(a):
-        s, p = engine.analyze_stage(a, plan)
-        return jnp.sum(jnp.abs(s.real)) + jnp.sum(jnp.abs(s.imag)) \
-            + jnp.sum(jnp.abs(p.real)) + jnp.sum(jnp.abs(p.imag))
+        s, p = engine.analyze_stage(a, plan, pair=pair)
+        return _cs(s) + _cs(p)
 
     def plan_cum(a, seed):
-        s, p = engine.analyze_stage(a, plan)
+        s, p = engine.analyze_stage(a, plan, pair=pair)
         inputs = wavefront.plan_spectral(s, p, plan.arrays, controls, flags,
                                          plan.consts, seed)
         tot = 0.0
         for x in (inputs.a1, inputs.a2, inputs.d1, inputs.d2):
-            tot += jnp.sum(jnp.abs(x.real)) + jnp.sum(jnp.abs(x.imag))
+            tot += _cs(x)
         for x in inputs.pe + inputs.pi:
-            tot += jnp.sum(jnp.abs(x))
+            tot += _cs(x)
         return tot
 
     def sweep_cum(a, seed):
-        s, p = engine.analyze_stage(a, plan)
+        s, p = engine.analyze_stage(a, plan, pair=pair)
         sr, si = engine.spectral_stage(s, p, plan, controls, flags, seed)
         return jnp.sum(jnp.abs(sr)) + jnp.sum(jnp.abs(si))
 
     def ana_synth(a, seed):
-        s, p = engine.analyze_stage(a, plan)
+        s, p = engine.analyze_stage(a, plan, pair=pair)
+        if pair:
+            return jnp.sum(jnp.abs(stft.synthesize_pair(s[0], s[1],
+                                                        plan.basis)))
         return jnp.sum(jnp.abs(stft.synthesize(s, plan.basis)))
 
     return {

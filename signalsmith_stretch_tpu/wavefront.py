@@ -1578,9 +1578,22 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
                 arrs.append(inp.pe[c])
         for c in range(ch):
             arrs += list(_ri(inp.pi[c]))
-        packed = jnp.pad(jnp.stack(arrs, axis=1),
-                         ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
-        P = packed.shape[1]            # [batch, P, nBp, B]; pad rows zero
+        P = len(arrs)
+        # SST_SWEEP_PACK=fuse skips materializing the packed [batch, P,
+        # nBp, B] array: the static skew builds each group's frames straight
+        # from the P plan planes.  MEASURED REJECTION (round 5, bench
+        # shapes): full render 256.9 ms vs 249.3 ms for "stack" plus a 501 s
+        # compile — the 512 per-row plane slices defeat XLA's bulk-copy
+        # lowering of the skew, costing more than the pack's 3.2 GB
+        # write+read saves.  Default "stack" on all backends.
+        pack_env = os.environ.get("SST_SWEEP_PACK") or "stack"
+        if pack_env not in ("stack", "fuse"):
+            raise ValueError("SST_SWEEP_PACK must be stack or fuse, got %r"
+                             % pack_env)
+        packed = None
+        if pack_env == "stack":
+            packed = jnp.pad(jnp.stack(arrs, axis=1),
+                             ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
         # profiling-only early exit (tools/exp_sweep_prefix.py): truncate the
         # pipeline after a phase so its cost can be attributed by difference.
         # Never set in production; outputs are NOT render outputs.  The
@@ -1595,6 +1608,9 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             return jnp.sum(jnp.abs(x), axis=axes)
 
         if stop == "pack":
+            if packed is None:
+                packed = jnp.pad(jnp.stack(arrs, axis=1),
+                                 ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
             return _stop_sum(packed, 0)
 
         def build_sk(g0, rows_n, D):
@@ -1852,6 +1868,10 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
         if skew_mode not in ("merge", "static", "scan"):
             raise ValueError("SST_SKEW must be one of merge/static/scan, got %r"
                              % skew_mode)
+        if skew_mode != "static" and packed is None:
+            # merge/scan skews consume the packed array wholesale
+            packed = jnp.pad(jnp.stack(arrs, axis=1),
+                             ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
         if skew_mode == "merge":   # CPU default: plain memcpy pitch merge
             sk_all = jnp.stack([build_sk(g * GR, GR, D) for g in range(nG)])
         elif skew_mode == "static":
@@ -1863,8 +1883,17 @@ def _sweep_unskew_fn(longv: int, ch: int, pe_from_pi: bool, bands: int,
             def group_rows(g):
                 frames = []
                 for r in range(GR):
-                    row = packed[:, :, g * GR + r]          # [batch, P, B]
+                    gi = g * GR + r
                     off = r * step
+                    if packed is not None:
+                        row = packed[:, :, gi]              # [batch, P, B]
+                    elif gi < nB:
+                        # fused pack: stack the row straight from the plan
+                        # planes (reads fuse into this frame's pad)
+                        row = jnp.stack([p[:, gi] for p in arrs], 1)
+                    else:
+                        frames.append(jnp.zeros((batch, P, D), jnp.float32))
+                        continue
                     frames.append(jnp.pad(
                         row, ((0, 0), (0, 0), (off, D - off - B))))
                 return jnp.stack(frames, 0)                 # [GR,batch,P,D]
