@@ -636,6 +636,18 @@ def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
          compacts the queries back in bin order;
       3. the smoothstep interpolation tail shared with the windowed path.
 
+    MINIMAL SORT PAYLOADS (round 5): the two lax.sort calls dominated the
+    mapped plan (~218 ms of 552.7 at bench shapes).  TPU sort cost scales
+    with the number of operand planes, so everything recomputable rides
+    nowhere: the merge sort carries ONE f32 payload (the peak centroid
+    avg_band) — is_peak / the query bin are decoded from the sorted key,
+    both directional fills mask that single payload with +/-inf, and the
+    compaction key is rebuilt from the sorted keys.  The mapped
+    coordinates prev_o/next_o are recomputed pointwise AFTER compaction
+    via the same freq_to_band(map_freq(band_to_freq(x))) chain that
+    built peak_out_raw — bit-identical since the fills select exact
+    avg_band values (sorted planes: 2 + 3 vs the original 6 + 5).
+
     Values match the windowed path to float reassociation (the centroid
     sums accumulate in scan-tree order; the reference's own sequential
     order differs from BOTH — docs/PARITY.md chaos taxonomy).  Exact by
@@ -682,35 +694,37 @@ def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
                             jnp.broadcast_to(key_query, (nB, B))], 1)
     ninf = jnp.float32(-np.inf)
     pinf_f = jnp.float32(np.inf)
-    # peak payloads ride as +/-inf-filled planes; both fields are
-    # INCREASING along the merged order (monotone map, ascending
-    # centroids), so the directional last/next-peak fills are plain
-    # cummax / cummin — no validity flags to carry
-    lo_src_o = jnp.concatenate([jnp.where(start, peak_out_raw, ninf),
-                                jnp.full((nB, B), ninf)], 1)
-    lo_src_i = jnp.concatenate([jnp.where(start, avg_band, ninf),
-                                jnp.full((nB, B), ninf)], 1)
-    hi_src_o = jnp.concatenate([jnp.where(start, peak_out_raw, pinf_f),
-                                jnp.full((nB, B), pinf_f)], 1)
-    hi_src_i = jnp.concatenate([jnp.where(start, avg_band, pinf_f),
-                                jnp.full((nB, B), pinf_f)], 1)
-    # query compaction key for the second sort: queries first, in bin
-    # order, peaks after
-    qb = jnp.concatenate([jnp.broadcast_to((1 << 13) | i_idx, (nB, B)),
-                          jnp.broadcast_to(i_idx, (nB, B))], 1)
-    _, lo_src_o, lo_src_i, hi_src_o, hi_src_i, qb = jax.lax.sort(
-        [keys, lo_src_o, lo_src_i, hi_src_o, hi_src_i, qb],
-        dimension=1, num_keys=1)
-    lo_o = jax.lax.cummax(lo_src_o, axis=1)
-    lo_i = jax.lax.cummax(lo_src_i, axis=1)
-    hi_o = jax.lax.cummin(hi_src_o[:, ::-1], axis=1)[:, ::-1]
-    hi_i = jax.lax.cummin(hi_src_i[:, ::-1], axis=1)[:, ::-1]
-    _, lo_o, lo_i, hi_o, hi_i = jax.lax.sort(
-        [qb, lo_o, lo_i, hi_o, hi_i], dimension=1, num_keys=1)
-    lo_v = lo_o[:, :B] > ninf
-    hi_v = hi_o[:, :B] < pinf_f
-    prev_o, prev_in_ = lo_o[:, :B], lo_i[:, :B]
-    next_o, next_in_ = hi_o[:, :B], hi_i[:, :B]
+    # single sorted payload: the peak centroid (query/sentinel slots are
+    # masked off after the sort via the decoded key, so their values are
+    # free to be garbage)
+    v_pay = jnp.concatenate([avg_band, jnp.zeros((nB, B), jnp.float32)], 1)
+    keys_s, v_s = jax.lax.sort([keys, v_pay], dimension=1, num_keys=1)
+    tag = keys_s & 0x1fff
+    # queries carry tag 0x1000 (> any source bin < B); sentinels are
+    # exactly (B+1)<<13 with tag 0 — real peaks are everything else
+    is_peak = (tag != 0x1000) & (keys_s < ((B + 1) << 13))
+    # both fields are INCREASING along the merged order (monotone map,
+    # ascending centroids), so the directional last/next-peak fills are
+    # plain cummax / cummin — no validity flags to carry
+    lo_i_f = jax.lax.cummax(jnp.where(is_peak, v_s, ninf), axis=1)
+    hi_i_f = jax.lax.cummin(
+        jnp.where(is_peak, v_s, pinf_f)[:, ::-1], axis=1)[:, ::-1]
+    # compaction key, rebuilt from the sorted keys: queries first in bin
+    # order, peaks/sentinels after (their relative order is discarded)
+    qb = jnp.where(tag == 0x1000, keys_s >> 13, (1 << 13) | tag)
+    _, lo_i_c, hi_i_c = jax.lax.sort([qb, lo_i_f, hi_i_f], dimension=1,
+                                     num_keys=1)
+    prev_in_, next_in_ = lo_i_c[:, :B], hi_i_c[:, :B]
+    lo_v = prev_in_ > ninf
+    hi_v = next_in_ < pinf_f
+    # mapped coordinates, recomputed pointwise: the same float chain that
+    # built peak_out_raw applied to the exact centroid the fill selected
+    prev_o = spectral._freq_to_band(
+        spectral.map_freq(spectral._band_to_freq(prev_in_, consts),
+                          controls, flags), consts)
+    next_o = spectral._freq_to_band(
+        spectral.map_freq(spectral._band_to_freq(next_in_, consts),
+                          controls, flags), consts)
     # the windowed path's 0-filled tables produce 0 outside valid taps
     next_o = jnp.where(hi_v, next_o, 0)
     next_in_ = jnp.where(hi_v, next_in_, 0)
@@ -1050,12 +1064,19 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
 
     spectra/prev_spectra may each be an f32 (re, im) plane PAIR instead of
     complex64 (the TPU analysis emits pairs): the unmapped / formant-free /
-    non-randomized case then runs an all-pair tail (_plan_tail_pair) and no
-    complex64 is ever materialized; every other case reconstitutes complex
-    at entry (identical values — lax.complex is bit-transparent).
+    non-randomized case runs an all-pair tail (_plan_tail_pair), and every
+    OTHER case (mapped, formants, randomized >2x) runs this main path in
+    pair mode — the complex algebra below is written through tiny
+    polymorphic helpers (cmul/cmulc/csel/...) that expand to f32-pair ops
+    mirroring XLA's complex lowering, so no complex64 materializes between
+    analysis and the sweep on the TPU path (round 5: the c64 interleave
+    boundaries measured ~130 ms of the 552.7 ms mapped plan).  debug mode
+    reconstitutes complex at entry (identical values — lax.complex is
+    bit-transparent) so the probe dict keeps its c64 shape contract.
     """
     dbg = {}
     pair_in = isinstance(spectra, tuple)
+    pairm = pair_in and not debug
     if pair_in:
         tf_pair = np.maximum(arrays["time_factor"],
                              f32(1.0 / MAX_CLEAN_STRETCH))
@@ -1066,14 +1087,58 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             if with_violations:
                 return result, jnp.int32(0)
             return result
-        spectra = jax.lax.complex(*spectra)
-        prev_spectra = jax.lax.complex(*prev_spectra)
-    nB, ch, B = spectra.shape
+        if not pairm:
+            spectra = jax.lax.complex(*spectra)
+            prev_spectra = jax.lax.complex(*prev_spectra)
+
+    # polymorphic complex helpers: pair mode works on (re, im) f32 plane
+    # tuples with exactly the ops XLA lowers complex arithmetic to; complex
+    # mode keeps the original expressions (CPU probe bit-parity)
+    if pairm:
+        def cmap1(f, z):
+            return (f(z[0]), f(z[1]))
+
+        def cwhere(m, a, b):
+            return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]))
+
+        def cwhere0(m, a):
+            return (jnp.where(m, a[0], 0), jnp.where(m, a[1], 0))
+
+        def cdivr(a, den):
+            return (a[0] / den, a[1] / den)
+
+        cmul, cmulc, csel = _pmul, _pmulc, _psel
+    else:
+        def cmap1(f, z):
+            return f(z)
+
+        def cwhere(m, a, b):
+            return jnp.where(m, a, b)
+
+        def cwhere0(m, a):
+            return jnp.where(m, a, 0)
+
+        def cdivr(a, den):
+            return a / den
+
+        def cmul(a, b):
+            return a * b
+
+        def cmulc(a, b):
+            return a * jnp.conj(b)
+
+        csel = _sel
+    s_leaf = spectra[0] if pairm else spectra
+    nB, ch, B = s_leaf.shape
     longv = consts.long_vertical_step
     new = arrays["new_spectrum"]          # numpy bool [nB]
     reanalyse = arrays["reanalyse"]
     tf_np = arrays["time_factor"]         # numpy f32 [nB]
-    rotor = jnp.asarray(consts.rotor)     # [B] complex64
+    if pairm:
+        rotor = (jnp.asarray(consts.rotor.real),
+                 jnp.asarray(consts.rotor.imag))
+    else:
+        rotor = jnp.asarray(consts.rotor)     # [B] complex64
 
     # static time-factor facts (needed up front to size the interp windows)
     tf = np.maximum(tf_np, f32(1.0 / MAX_CLEAN_STRETCH))    # static [nB]
@@ -1122,9 +1187,9 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
     if (src_input == idx).all():
         input_eff = spectra
     else:
-        input_eff = spectra[np.maximum(src_input, 0)]
-        input_eff = jnp.where(jnp.asarray((src_input >= 0))[:, None, None],
-                              input_eff, 0)
+        input_eff = cmap1(lambda z: z[np.maximum(src_input, 0)], spectra)
+        input_eff = cwhere0(jnp.asarray((src_input >= 0))[:, None, None],
+                            input_eff)
 
     if reanalyse.all():
         prev_base = prev_spectra
@@ -1132,17 +1197,21 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         base_idx = np.where(new & ~reanalyse, np.maximum(m_prev, 0),
                             np.maximum(src_input, 0))
         base_valid = np.where(new & ~reanalyse, m_prev >= 0, src_input >= 0)
-        prev_base = jnp.where(jnp.asarray(reanalyse)[:, None, None],
-                              prev_spectra, spectra[base_idx])
-        prev_base = jnp.where(jnp.asarray(base_valid | reanalyse)[:, None, None],
-                              prev_base, 0)
+        prev_base = cwhere(jnp.asarray(reanalyse)[:, None, None],
+                           prev_spectra,
+                           cmap1(lambda z: z[base_idx], spectra))
+        prev_base = cwhere0(
+            jnp.asarray(base_valid | reanalyse)[:, None, None], prev_base)
     if new.all():
-        prev_eff = prev_base * rotor
+        prev_eff = cmul(prev_base, rotor)
     else:
-        prev_eff = jnp.where(jnp.asarray(new)[:, None, None],
-                             prev_base * rotor, prev_base)
+        prev_eff = cwhere(jnp.asarray(new)[:, None, None],
+                          cmul(prev_base, rotor), prev_base)
 
-    in_energy = input_eff.real ** 2 + input_eff.imag ** 2   # [nB, ch, B]
+    if pairm:
+        in_energy = input_eff[0] ** 2 + input_eff[1] ** 2   # [nB, ch, B]
+    else:
+        in_energy = input_eff.real ** 2 + input_eff.imag ** 2
     b_f = jnp.arange(B, dtype=jnp.float32)
 
     # ---- smoothing + peaks + output map (:816-917) ------------------------
@@ -1269,9 +1338,21 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             # the vote positions (all within longv*tf of input_bin, which the
             # geometry margin includes): the plane padding and window
             # extraction — ~70% of a call at bench shapes — are paid once.
-            rows = ([input_eff[:, c] for c in range(ch)]
-                    + [prev_eff[:, c] for c in range(ch)]
-                    + [in_energy[:, c] for c in range(ch)])
+            if pairm:
+                # planar f32 rows: 2 planes per complex row, paired back up
+                # below (the interp splits complex rows into exactly these
+                # planes internally, so the windowed math is unchanged)
+                rows = []
+                for z in (input_eff, prev_eff):
+                    for c in range(ch):
+                        rows += [z[0][:, c], z[1][:, c]]
+                rows += [in_energy[:, c] for c in range(ch)]
+            else:
+                rows = ([input_eff[:, c] for c in range(ch)]
+                        + [prev_eff[:, c] for c in range(ch)]
+                        + [in_energy[:, c] for c in range(ch)])
+            n_main = 5 * ch if pairm else 3 * ch
+            n_vote = 2 * ch if pairm else ch
             base = input_bin
             if any_random:
                 # _shift_up zero-fills the last k positions; those votes are
@@ -1283,68 +1364,87 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
                 base_up1 = jnp.where(bi < B - 1, _shift_up(base, 1), base)
                 base_upl = jnp.where(bi < B - longv, _shift_up(base, longv),
                                      base)
-                specs = [(base, 3 * ch), (base - btf1, ch),
-                         (base - f32(longv) * btf1, ch),
-                         (base_up1 - btf2, ch),
-                         (base_upl - f32(longv) * btf2, ch)]
+                specs = [(base, n_main), (base - btf1, n_vote),
+                         (base - f32(longv) * btf1, n_vote),
+                         (base_up1 - btf2, n_vote),
+                         (base_upl - f32(longv) * btf2, n_vote)]
             else:
-                specs = [(base, 3 * ch), (base - tf_j[:, None], ch),
-                         (base - f32(longv) * tf_j[:, None], ch)]
+                specs = [(base, n_main), (base - tf_j[:, None], n_vote),
+                         (base - f32(longv) * tf_j[:, None], n_vote)]
             outs = interp.multi(rows, specs)
             vals = outs[0]
-            vote_vals = outs[1:]
-            pi = [vals[c] for c in range(ch)]
-            prev_i = [vals[ch + c] for c in range(ch)]
-            pe = [vals[2 * ch + c] * pos_grad for c in range(ch)]
+            if pairm:
+                vote_vals = [[(v[2 * c], v[2 * c + 1]) for c in range(ch)]
+                             for v in outs[1:]]
+                pi = [(vals[2 * c], vals[2 * c + 1]) for c in range(ch)]
+                prev_i = [(vals[2 * ch + 2 * c], vals[2 * ch + 2 * c + 1])
+                          for c in range(ch)]
+                pe = [vals[4 * ch + c] * pos_grad for c in range(ch)]
+            else:
+                vote_vals = outs[1:]
+                pi = [vals[c] for c in range(ch)]
+                prev_i = [vals[ch + c] for c in range(ch)]
+                pe = [vals[2 * ch + c] * pos_grad for c in range(ch)]
         else:
             pe = [_interp_gather(in_energy[:, c], input_bin) * pos_grad
                   for c in range(ch)]
-            pi = [_interp_gather(input_eff[:, c], input_bin)
-                  for c in range(ch)]
-            prev_i = [_interp_gather(prev_eff[:, c], input_bin)
-                      for c in range(ch)]
+            pi = [cmap1(lambda z, c=c: _interp_gather(z[:, c], input_bin),
+                        input_eff) for c in range(ch)]
+            prev_i = [cmap1(lambda z, c=c: _interp_gather(z[:, c], input_bin),
+                            prev_eff) for c in range(ch)]
     else:
         pe = [in_energy[:, c] for c in range(ch)]
-        pi = [input_eff[:, c] for c in range(ch)]
-        prev_i = [prev_eff[:, c] for c in range(ch)]
+        pi = [cmap1(lambda z, c=c: z[:, c], input_eff) for c in range(ch)]
+        prev_i = [cmap1(lambda z, c=c: z[:, c], prev_eff) for c in range(ch)]
 
     pe_prev = [jnp.concatenate([jnp.zeros((1, B), x.dtype), x[:-1]], 0)
                for x in pe]
-    if new.all():
+    if pairm:
+        if new.all():
+            rotor_eff = (rotor[0][None, :], rotor[1][None, :])
+        else:
+            nm = jnp.asarray(new)[:, None]
+            rotor_eff = (jnp.where(nm, rotor[0], f32(1.0)),
+                         jnp.where(nm, rotor[1], f32(0.0)))
+    elif new.all():
         rotor_eff = rotor[None, :]
     else:
         rotor_eff = jnp.where(jnp.asarray(new)[:, None], rotor,
                               jnp.ones((), rotor.dtype))    # [nB, B]
-    c1 = [rotor_eff * (pi[c] * jnp.conj(prev_i[c]))
-          / (jnp.maximum(pe_prev[c], pe[c]) + f32(NOISE_FLOOR))
+    c1 = [cdivr(cmul(rotor_eff, cmulc(pi[c], prev_i[c])),
+                jnp.maximum(pe_prev[c], pe[c]) + f32(NOISE_FLOOR))
           for c in range(ch)]
 
     # ---- main-prediction coefficients (:722-803) --------------------------
     mc = jnp.argmax(jnp.stack(pe, 1), axis=1).astype(jnp.int32)  # [nB, B]
-    pi_max = _sel(mc, pi)
+    pi_max = csel(mc, pi)
 
     margin = int(np.ceil(longv * float(tf.max()))) + 2
 
     def vote_gathers(z):
-        """z complex [nB, B] -> (short_down, long_down, up_short, up_long)."""
+        """z [nB, B] (complex or pair) -> (short/long down, up short/long)."""
         base = input_bin if flags.mapped else b_f[None, :]
         if any_random:
-            sd = _interp_gather(z, base - btf1)
-            ld = _interp_gather(z, base - f32(longv) * btf1)
-            us = _interp_gather(z, _shift_up(base, 1) - btf2)
-            ul = _interp_gather(z, _shift_up(base, longv)
-                                - f32(longv) * btf2)
+            sd = cmap1(lambda x: _interp_gather(x, base - btf1), z)
+            ld = cmap1(lambda x: _interp_gather(x, base - f32(longv) * btf1),
+                       z)
+            us = cmap1(lambda x: _interp_gather(x, _shift_up(base, 1) - btf2),
+                       z)
+            ul = cmap1(lambda x: _interp_gather(
+                x, _shift_up(base, longv) - f32(longv) * btf2), z)
             return sd, ld, us, ul
         if flags.mapped:
-            sd = _interp_gather(z, base - tf_j[:, None])
-            ld = _interp_gather(z, base - f32(longv) * tf_j[:, None])
+            sd = cmap1(lambda x: _interp_gather(x, base - tf_j[:, None]), z)
+            ld = cmap1(lambda x: _interp_gather(
+                x, base - f32(longv) * tf_j[:, None]), z)
         else:
-            sd = _interp_shift_static(z, tf)
-            ld = _interp_shift_static(z, (f32(longv) * tf).astype(f32))
+            sd = cmap1(lambda x: _interp_shift_static(x, tf), z)
+            ld = cmap1(lambda x: _interp_shift_static(
+                x, (f32(longv) * tf).astype(f32)), z)
         # same binTimeFactor in both vote branches => up positions are the
         # down positions shifted one (or longv) bins up (:764-786)
-        us = _shift_up(sd, 1)
-        ul = _shift_up(ld, longv)
+        us = cmap1(lambda x: _shift_up(x, 1), sd)
+        ul = cmap1(lambda x: _shift_up(x, longv), ld)
         return sd, ld, us, ul
 
     if vote_vals is not None:
@@ -1352,8 +1452,8 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
             sd, ld, us, ul = vote_vals
         else:
             sd, ld = vote_vals
-            us = [_shift_up(x, 1) for x in sd]
-            ul = [_shift_up(x, longv) for x in ld]
+            us = [cmap1(lambda x: _shift_up(x, 1), v) for v in sd]
+            ul = [cmap1(lambda x: _shift_up(x, longv), v) for v in ld]
         if debug:
             dbg["interp_violations"] = interp.violations + finterp_violations
     else:
@@ -1362,26 +1462,31 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         us = [None] * ch
         ul = [None] * ch
         for c in range(ch):
-            sd[c], ld[c], us[c], ul[c] = vote_gathers(input_eff[:, c])
-    short_down = _sel(mc, sd)
-    long_down = _sel(mc, ld)
-    up_short = _sel(mc, us)
-    up_long = _sel(mc, ul)
+            sd[c], ld[c], us[c], ul[c] = vote_gathers(
+                cmap1(lambda z, c=c: z[:, c], input_eff))
+    short_down = csel(mc, sd)
+    long_down = csel(mc, ld)
+    up_short = csel(mc, us)
+    up_long = csel(mc, ul)
 
-    d1 = pi_max * jnp.conj(short_down)
-    d2 = pi_max * jnp.conj(long_down)
+    d1 = cmulc(pi_max, short_down)
+    d2 = cmulc(pi_max, long_down)
     b_idx = jnp.arange(B)
-    d1 = jnp.where(b_idx > 0, d1, 0)
-    d2 = jnp.where(b_idx >= longv, d2, 0)
+    d1 = cwhere0(b_idx > 0, d1)
+    d2 = cwhere0(b_idx >= longv, d2)
 
-    pi_up1 = _sel(mc, [_shift_up(pi[c], 1) for c in range(ch)])
-    pi_upl = _sel(mc, [_shift_up(pi[c], longv) for c in range(ch)])
-    c1_up1 = _sel(mc, [_shift_up(c1[c], 1) for c in range(ch)])
-    c1_upl = _sel(mc, [_shift_up(c1[c], longv) for c in range(ch)])
-    a1 = c1_up1 * jnp.conj(pi_up1 * jnp.conj(up_short))
-    a2 = c1_upl * jnp.conj(pi_upl * jnp.conj(up_long))
-    a1 = jnp.where(b_idx < B - 1, a1, 0)
-    a2 = jnp.where(b_idx < B - longv, a2, 0)
+    pi_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), pi[c])
+                       for c in range(ch)])
+    pi_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), pi[c])
+                       for c in range(ch)])
+    c1_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), c1[c])
+                       for c in range(ch)])
+    c1_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), c1[c])
+                       for c in range(ch)])
+    a1 = cmulc(c1_up1, cmulc(pi_up1, up_short))
+    a2 = cmulc(c1_upl, cmulc(pi_upl, up_long))
+    a1 = cwhere0(b_idx < B - 1, a1)
+    a2 = cwhere0(b_idx < B - longv, a2)
 
     result = SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
                          pe=tuple(pe), pi=tuple(pi))

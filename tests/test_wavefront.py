@@ -259,6 +259,82 @@ def test_pair_plan_matches_complex(monkeypatch):
                                       np.asarray(ref.pi[c].imag))
 
 
+@pytest.mark.parametrize("kind", ["mapped", "formant", "random"])
+def test_pair_plan_main_path_matches_complex(monkeypatch, kind):
+    """The MAIN planner path (mapped / formant / randomized-stretch cases)
+    in pair mode (round 5) reproduces the complex planner's SweepInputs:
+    the polymorphic helpers expand complex mul/conj exactly as XLA lowers
+    them, so votes agree to float rounding and everything real (pe, mc,
+    pi planes, interp positions) is bit-identical."""
+    from signalsmith_stretch_tpu.models import StretchModel
+    rate = 8000
+    kw = dict(channels=2, sample_rate=rate, cheaper=True,
+              in_samples=rate, out_samples=int(rate * 1.25))
+    if kind == "mapped":
+        kw.update(semitones=12, tonality_hz=2000)
+    elif kind == "formant":
+        kw.update(formant_semitones=5)
+    else:
+        kw.update(out_samples=int(rate * 2.5))   # tf > 2: randomized votes
+    model = StretchModel.build(**kw)
+    plan = model.plan
+    nB = len(plan.arrays["new_spectrum"])
+    B = plan.consts.bands
+    rng = np.random.default_rng(7)
+
+    def c64(shape):
+        return (rng.standard_normal(shape)
+                + 1j * rng.standard_normal(shape)).astype(np.complex64)
+
+    sp, pv = c64((nB, 2, B)), c64((nB, 2, B))
+    ref = wavefront.plan_spectral(jnp.asarray(sp), jnp.asarray(pv),
+                                  plan.arrays, model.controls, model.flags,
+                                  plan.consts, 0)
+    got = wavefront.plan_spectral(
+        (jnp.asarray(sp.real), jnp.asarray(sp.imag)),
+        (jnp.asarray(pv.real), jnp.asarray(pv.imag)),
+        plan.arrays, model.controls, model.flags, plan.consts, 0)
+    assert isinstance(got.a1, tuple)
+    for name in ("a1", "a2", "d1", "d2"):
+        r = getattr(ref, name)
+        g = getattr(got, name)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(r.real),
+                                   rtol=0, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(r.imag),
+                                   rtol=0, atol=2e-5, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(got.mc), np.asarray(ref.mc))
+    for c in range(2):
+        np.testing.assert_array_equal(np.asarray(got.pe[c]),
+                                      np.asarray(ref.pe[c]))
+        np.testing.assert_array_equal(np.asarray(got.pi[c][0]),
+                                      np.asarray(ref.pi[c].real))
+        np.testing.assert_array_equal(np.asarray(got.pi[c][1]),
+                                      np.asarray(ref.pi[c].imag))
+
+
+def test_pair_spectra_flow_mapped_end_to_end(monkeypatch, test_signal):
+    """Full exact() render with pitch shift + formants: pair spectra flow
+    (SST_SPECTRA_PAIR=1, TPU default) vs the complex CPU default — the
+    round-5 pair main path, gated like the unmapped flow test."""
+    sig, rate = test_signal
+    sig = sig[:, :rate]
+
+    def render():
+        s = sst.SignalsmithStretch(seed=1)
+        s.preset_cheaper(1, rate, False)
+        s.set_transpose_semitones(3, 2000 / rate)
+        s.set_formant_semitones(2, False)
+        out, ok = s.exact(sig, int(sig.shape[1] * 1.25))
+        assert ok
+        return np.asarray(out)
+
+    monkeypatch.setenv("SST_SPECTRA_PAIR", "0")
+    base = render()
+    monkeypatch.setenv("SST_SPECTRA_PAIR", "1")
+    pair = render()
+    assert rel_err_db(pair, base) < -80
+
+
 def test_pair_spectra_flow_end_to_end(monkeypatch, test_signal):
     """SST_SPECTRA_PAIR=1 (the TPU default flow: planar DFT -> pair planner
     -> pair sweep) vs the complex CPU default, full exact() render: values
