@@ -112,7 +112,7 @@ def interp_planes_window_multi(planes: jnp.ndarray, pos_sets,
         # path (tests/test_pallas_interp.py) and keeps the windows and
         # selection matrices in VMEM — mapped plan 1231 -> 915 ms at bench
         # shapes (tools/profile_stages SST_PROF_MAPPED=1)
-        from .ops.pallas import interp as pallas_interp
+        from .pallas import interp as pallas_interp
         return pallas_interp.interp_multi(planes, pos_sets, L)
     if impl == "pallas":
         raise ValueError("SST_INTERP_IMPL=pallas unsupported here "
