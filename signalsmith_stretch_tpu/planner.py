@@ -423,11 +423,35 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         target_band = spectral._freq_to_band(output_f, consts)  # [B] or [nB, B]
         tb = jnp.minimum(target_band, f32(B))
         finterp = None
-        if _interp_mode() == "window" and flags.inv_grad_bound is not None:
+        if (tb.ndim > 1 and _interp_mode() == "window"
+                and flags.inv_grad_bound is not None):
             geom_f = _window_geometry(flags.inv_grad_bound, 0.0)
             if geom_f is not None:
                 finterp = _WindowInterp(*geom_f)
-        if finterp is not None:
+        if tb.ndim == 1 and _interp_mode() == "window":
+            # Non-automated formants: the target positions are ONE [B]
+            # vector shared by every block, so the envelope lookup is a
+            # banded matmul on the MXU — two exact one-hot selections (lo
+            # taps, and the same matrix against a one-bin-shifted env for
+            # hi) and the gather path's lerp expression.  Bit-identical to
+            # the clipped-take fallback: a negative floor matches no
+            # one-hot row, so lo = hi = 0 and the target_band < 0 mask
+            # zeroes it the same way.  Replaces a per-row windowed interp
+            # that measured 379 ms at bench shapes (tools/exp_formant.py)
+            # with ~2x 463 GFLOP of matmul (~5 ms).
+            flo_f = jnp.floor(tb)                           # [B]
+            fr = tb - flo_f
+            rows_f = jnp.arange(B + 128, dtype=jnp.float32)
+            Wlo = (rows_f[:, None] == flo_f[None, :]).astype(jnp.float32)
+            env_hi = jnp.concatenate(
+                [env_pad[:, 1:], jnp.zeros((nB, 1), env_pad.dtype)], -1)
+            lo = jnp.einsum("rn,nj->rj", env_pad, Wlo,
+                            precision=jax.lax.Precision.HIGHEST)
+            hi = jnp.einsum("rn,nj->rj", env_hi, Wlo,
+                            precision=jax.lax.Precision.HIGHEST)
+            target_e = jnp.where(target_band < 0, f32(0),
+                                 lo + (hi - lo) * fr[None, :])
+        elif finterp is not None:
             # windowed selection over env_pad (width B+128, zeros at indices
             # B..B+127) is bit-identical to the clipped take: any clipped
             # index lands on env[0] (then forced to 0 by the target_band<0

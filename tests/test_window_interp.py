@@ -118,6 +118,7 @@ def test_geometry_covers_tonality_map():
     (dict(semitones=5, tonality_hz=2000), 1.25),
     (dict(semitones=-7, tonality_hz=1500), 1.0),
     (dict(semitones=3, formant_semitones=-4, formant_compensation=True), 1.25),
+    (dict(formant_semitones=5), 1.25),   # pure formant: env banded-matmul
     (dict(semitones=2), 2.5),   # randomized (>2x) regime
 ])
 def test_full_render_window_vs_gather(kw, of, monkeypatch):
