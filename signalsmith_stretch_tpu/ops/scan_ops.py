@@ -39,11 +39,43 @@ def _cpp_max(a, b):
     return jnp.where(a < b, b, a)
 
 
+def _use_shift_scan() -> bool:
+    """Hillis-Steele shift form on TPU (closed-form level coefficients, one
+    carried plane, no even/odd interleave relayouts — the associative_scan
+    lowering's odd/even splits are strided minor-axis slices that relayout
+    every level); CPU keeps the associative form the probe gates were
+    measured against.  Override: SST_SHIFT_SCAN=0/1."""
+    import os
+    env = os.environ.get("SST_SHIFT_SCAN", "")
+    if env:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
+def _shift_right(x, k, fill):
+    head = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
+    return jnp.concatenate([head, x[..., :-k]], -1)
+
+
 def iir_forward(x: jnp.ndarray, init, slew) -> tuple:
     """y_b = y_{b-1} + (x_b - y_{b-1})*slew along the last axis.
 
     Returns (y, final) where final == y[..., -1].
     """
+    if _use_shift_scan():
+        B = x.shape[-1]
+        a0 = jnp.float32(1.0 - slew)
+        b = x * slew
+        init_b = init[..., None] if jnp.ndim(init) else init
+        b = jnp.concatenate([b[..., :1] + a0 * init_b, b[..., 1:]], -1)
+        y = b
+        ak = a0
+        k = 1
+        while k < B:
+            y = y + ak * _shift_right(y, k, 0.0)
+            ak = ak * ak
+            k *= 2
+        return y, y[..., -1]
     a = jnp.full_like(x, 1.0 - slew)
     b = x * slew
 
@@ -61,6 +93,28 @@ def iir_backward(x: jnp.ndarray, init, slew) -> tuple:
 
 
 def _decay_scan(x, init, coef, op):
+    if _use_shift_scan():
+        # y_b = op(x_b, d*y_{b-1}) as Hillis-Steele: level k folds in
+        # values k bins back decayed by d^k (repeated squaring, clamped
+        # like the associative form's coefficient product).  max/min are
+        # idempotent so the inclusive-scan double-coverage is harmless,
+        # and scaling by d^k >= 0 distributes over them.  The head fill is
+        # op's identity; d = inf (silent-pitch inverse pass) follows the
+        # same NaN-discard path as the associative form: op is the C++
+        # min/max that drops NaNs.
+        B = x.shape[-1]
+        dk = (jnp.float32(coef) if jnp.ndim(coef) == 0
+              else coef[..., None].astype(jnp.float32))
+        dk = jnp.clip(dk, -_COEF_CLAMP, _COEF_CLAMP)
+        fill = -jnp.inf if op is _cpp_max else jnp.inf
+        init_b = init[..., None] if jnp.ndim(init) else init
+        y = jnp.concatenate([op(x[..., :1], dk * init_b), x[..., 1:]], -1)
+        k = 1
+        while k < B:
+            y = op(y, dk * _shift_right(y, k, fill))
+            dk = jnp.clip(dk * dk, -_COEF_CLAMP, _COEF_CLAMP)
+            k *= 2
+        return y, y[..., -1]
     c = jnp.full_like(x, coef) if jnp.ndim(coef) == 0 else jnp.broadcast_to(
         coef[..., None], x.shape)
 

@@ -28,8 +28,10 @@ def _seq_decay(x, init, decay, better):
     return y
 
 
+@pytest.mark.parametrize("shift", ["0", "1"])
 @pytest.mark.parametrize("direction", ["forward", "backward"])
-def test_decay_scans_match_sequential(direction):
+def test_decay_scans_match_sequential(direction, shift, monkeypatch):
+    monkeypatch.setenv("SST_SHIFT_SCAN", shift)
     rng = np.random.default_rng(3)
     x = rng.uniform(0.01, 2.0, size=257).astype(np.float32)
     init = np.float32(0.5)
@@ -48,7 +50,9 @@ def test_decay_scans_match_sequential(direction):
         assert float(fin) == y[-1 if direction == "forward" else 0]
 
 
-def test_decay_min_inf_decay_discards_nan():
+@pytest.mark.parametrize("shift", ["0", "1"])
+def test_decay_min_inf_decay_discards_nan(shift, monkeypatch):
+    monkeypatch.setenv("SST_SHIFT_SCAN", shift)
     """decay = inf with zero envelope values: every inf*0 product is NaN and
     must be discarded exactly as std::min does (keep the other operand).
     The inf decay only ever pairs with an all-zero envelope (the pitch
@@ -91,3 +95,27 @@ def test_silent_leading_formant_render_nan_free(oracle_bin, tmp_path):
     from signalsmith_stretch_tpu.utils.evaluation import envelope_db
     dev = envelope_db(out, ref, rate)
     assert dev < 1.0, f"envelope deviation {dev:.2f} dB"
+
+
+@pytest.mark.parametrize("perrow", [False, True])
+def test_shift_scan_matches_associative(perrow, monkeypatch):
+    """The TPU Hillis-Steele shift scans (SST_SHIFT_SCAN=1, round 5) agree
+    with the associative forms the probes were gated on: same sums/selections
+    reassociated (closed-form level coefficients via repeated squaring)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0.001, 2.0, size=(6, 512)).astype(np.float32)
+    init = np.float32(0.25)
+    decay = (rng.uniform(0.9, 0.999, size=6).astype(np.float32)
+             if perrow else np.float32(0.97))
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SST_SHIFT_SCAN", mode)
+        y1, f1_ = scan_ops.iir_forward(jnp.asarray(x), np.float32(0.1),
+                                       np.float32(0.13))
+        y2, f2_ = scan_ops.decay_max_forward(jnp.asarray(x), init, decay)
+        y3, f3_ = scan_ops.decay_min_backward(jnp.asarray(x), init,
+                                              np.float32(1.0) / decay)
+        outs[mode] = [np.asarray(v) for v in (y1, f1_, y2, f2_, y3, f3_)]
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_allclose(a, b, rtol=4e-6, atol=1e-7)
