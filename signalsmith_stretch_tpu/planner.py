@@ -609,15 +609,23 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         ul = cmap1(lambda x: _shift_up(x, longv), ld)
         return sd, ld, us, ul
 
+    prod_first = pairm and not any_random
     if vote_vals is not None:
         if any_random:
             sd, ld, us, ul = vote_vals
         else:
             sd, ld = vote_vals
-            us = [cmap1(lambda x: _shift_up(x, 1), v) for v in sd]
-            ul = [cmap1(lambda x: _shift_up(x, longv), v) for v in ld]
+            if not prod_first:
+                us = [cmap1(lambda x: _shift_up(x, 1), v) for v in sd]
+                ul = [cmap1(lambda x: _shift_up(x, longv), v) for v in ld]
         if debug:
             dbg["interp_violations"] = interp.violations + finterp_violations
+    elif prod_first:
+        sd = [None] * ch
+        ld = [None] * ch
+        for c in range(ch):
+            sd[c], ld[c], _, _ = vote_gathers(
+                cmap1(lambda z, c=c: z[:, c], input_eff))
     else:
         sd = [None] * ch
         ld = [None] * ch
@@ -626,29 +634,51 @@ def plan_spectral(spectra: jnp.ndarray, prev_spectra: jnp.ndarray,
         for c in range(ch):
             sd[c], ld[c], us[c], ul[c] = vote_gathers(
                 cmap1(lambda z, c=c: z[:, c], input_eff))
-    short_down = csel(mc, sd)
-    long_down = csel(mc, ld)
-    up_short = csel(mc, us)
-    up_long = csel(mc, ul)
-
-    d1 = cmulc(pi_max, short_down)
-    d2 = cmulc(pi_max, long_down)
     b_idx = jnp.arange(B)
-    d1 = cwhere0(b_idx > 0, d1)
-    d2 = cwhere0(b_idx >= longv, d2)
+    if prod_first:
+        # PRODUCT-FIRST vote build (ported from _plan_tail_pair, round 5):
+        # every factor of a vote coefficient is shifted by the same offset
+        # and selected by the same mc[b], so the per-channel products are
+        # formed UNSHIFTED and one shift + one select produces each
+        # coefficient — one plane materialization per vote instead of
+        # three shifted+selected operands.  Bit-identical: the float ops
+        # per bin are unchanged, the shifts' zero tails are exactly the
+        # masked bins, and select-then-multiply == multiply-then-select
+        # under one mc.  Only valid when the up positions are shifts of
+        # the down positions (non-random regime, :764-786).
+        psd = [cmulc(pi[c], sd[c]) for c in range(ch)]
+        pld = [cmulc(pi[c], ld[c]) for c in range(ch)]
+        d1 = cwhere0(b_idx > 0, csel(mc, psd))
+        d2 = cwhere0(b_idx >= longv, csel(mc, pld))
+        t1 = [cmulc(c1[c], psd[c]) for c in range(ch)]
+        t2 = [cmulc(c1[c], pld[c]) for c in range(ch)]
+        a1 = cwhere0(b_idx < B - 1, csel(
+            mc, [cmap1(lambda x: _shift_up(x, 1), t) for t in t1]))
+        a2 = cwhere0(b_idx < B - longv, csel(
+            mc, [cmap1(lambda x: _shift_up(x, longv), t) for t in t2]))
+    else:
+        short_down = csel(mc, sd)
+        long_down = csel(mc, ld)
+        up_short = csel(mc, us)
+        up_long = csel(mc, ul)
 
-    pi_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), pi[c])
-                       for c in range(ch)])
-    pi_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), pi[c])
-                       for c in range(ch)])
-    c1_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), c1[c])
-                       for c in range(ch)])
-    c1_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), c1[c])
-                       for c in range(ch)])
-    a1 = cmulc(c1_up1, cmulc(pi_up1, up_short))
-    a2 = cmulc(c1_upl, cmulc(pi_upl, up_long))
-    a1 = cwhere0(b_idx < B - 1, a1)
-    a2 = cwhere0(b_idx < B - longv, a2)
+        d1 = cmulc(pi_max, short_down)
+        d2 = cmulc(pi_max, long_down)
+        d1 = cwhere0(b_idx > 0, d1)
+        d2 = cwhere0(b_idx >= longv, d2)
+
+        pi_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), pi[c])
+                           for c in range(ch)])
+        pi_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), pi[c])
+                           for c in range(ch)])
+        c1_up1 = csel(mc, [cmap1(lambda x: _shift_up(x, 1), c1[c])
+                           for c in range(ch)])
+        c1_upl = csel(mc, [cmap1(lambda x: _shift_up(x, longv), c1[c])
+                           for c in range(ch)])
+        a1 = cmulc(c1_up1, cmulc(pi_up1, up_short))
+        a2 = cmulc(c1_upl, cmulc(pi_upl, up_long))
+        a1 = cwhere0(b_idx < B - 1, a1)
+        a2 = cwhere0(b_idx < B - longv, a2)
 
     result = SweepInputs(a1=a1, a2=a2, d1=d1, d2=d2, mc=mc,
                          pe=tuple(pe), pi=tuple(pi))
