@@ -157,11 +157,54 @@ def main():
 
     f_unskew = jax.jit(unskew)
 
+    # round-5 additions: the pieces the production (dus-emission) sweep
+    # actually runs that the above do not isolate
+    planes12 = jax.block_until_ready(jax.jit(
+        lambda k: [jax.random.normal(jax.random.fold_in(k, i),
+                                     (batch, nB, B), jnp.float32)
+                   for i in range(P)])(key))
+
+    def pack12(pls):
+        stacked = jnp.pad(jnp.stack(pls, axis=1),
+                          ((0, 0), (0, 0), (0, nBp - nB), (0, 0)))
+        return jnp.sum(jax.lax.optimization_barrier(stacked))
+
+    f_pack = jax.jit(pack12)
+
+    def scan_dus(xs):
+        """cell scan + windowed-DUS emission + unskew view + final-buffer
+        DUS — the production emission path (SST_SWEEP_EMIT=dus)."""
+        out = jnp.zeros((batch, nch, nBp, B), jnp.float32)
+        for g in range(nG):
+            def body(carry, xy):
+                ring, buf = carry
+                row, joff = xy
+                ring2, em = cell_chain(ring, row)
+                win = jnp.transpose(em, (3, 1, 2, 4, 0)).reshape(
+                    batch, nch, GR, K)
+                buf2 = jax.lax.dynamic_update_slice(buf, win, (0, 0, 0, joff))
+                return (ring2, buf2), None
+
+            ring0 = jnp.zeros((longv, ch, 2, batch, GR), jnp.float32)
+            buf0 = jnp.zeros((batch, nch, GR, D), jnp.float32)
+            offs = jnp.arange(S, dtype=jnp.int32) * K
+            (_, buf), _ = jax.lax.scan(body, (ring0, buf0), (xs[g], offs))
+            flat = buf.reshape(batch, nch, GR * D)
+            tail = jnp.zeros((batch, nch, GR * step), jnp.float32)
+            og = jnp.concatenate([flat, tail], 2).reshape(
+                batch, nch, GR, D + step)[..., :B]
+            out = jax.lax.dynamic_update_slice(out, og, (0, 0, g * GR, 0))
+        return jnp.sum(out[:, :, :nB])
+
+    f_dus = jax.jit(scan_dus)
+
     for name, fn, arg in (("build_rows", f_rows, packed),
                           ("build_xs  ", f_xs, packed),
                           ("scan_triv ", f_triv, xs_all),
                           ("scan_cell ", f_cell, xs_all),
-                          ("unskew    ", f_unskew, ys_all)):
+                          ("unskew    ", f_unskew, ys_all),
+                          ("pack12    ", f_pack, planes12),
+                          ("scan_dus  ", f_dus, xs_all)):
         dt, cs = timed(fn, arg)
         print(f"{name}: {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
 
