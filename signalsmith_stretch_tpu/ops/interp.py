@@ -538,16 +538,41 @@ def _segmented_run_sums(data, start, above):
 
     data [..., B] (already masked to zero outside runs), start [..., B] run
     start flags.  Returns [..., B] where every bin of a run holds the run's
-    total (garbage outside runs — callers mask).  Two log-depth associative
-    scans: a segmented prefix sum (reset at starts), then a reverse
-    copy-with-reset that propagates each run's last prefix value backward."""
+    total (garbage outside runs — callers mask).  Two log-depth scans: a
+    segmented prefix sum (reset at starts), then a reverse copy-with-reset
+    that propagates each run's last prefix value backward.  On TPU both run
+    in Hillis-Steele shift form (one value plane + one flag plane, no
+    odd/even interleave relayouts — see scan_ops._use_shift_scan); CPU
+    keeps lax.associative_scan (the form the probe gates were measured
+    against — same sums reassociated)."""
+    from .scan_ops import _use_shift_scan
+    B = data.shape[-1]
+    # run end at bin b <=> next bin starts a new run (or b is last)
+    end = jnp.concatenate(
+        [start[..., 1:], jnp.ones(start.shape[:-1] + (1,), bool)], -1)
+    if _use_shift_scan():
+        def shr(x, k, fill):
+            head = jnp.full(x.shape[:-1] + (k,), fill, x.dtype)
+            return jnp.concatenate([head, x[..., :-k]], -1)
+
+        v, f = data, start
+        k = 1
+        while k < B:
+            v = v + jnp.where(f, 0, shr(v, k, jnp.float32(0)))
+            f = f | shr(f, k, True)
+            k *= 2
+        tv, tf = v[..., ::-1], end[..., ::-1]
+        k = 1
+        while k < B:
+            tv = jnp.where(tf, tv, shr(tv, k, jnp.float32(0)))
+            tf = tf | shr(tf, k, True)
+            k *= 2
+        return tv[..., ::-1]
+
     def seg_sum(l, r):
         return (jnp.where(r[1], r[0], l[0] + r[0]), l[1] | r[1])
 
     prefix, _ = jax.lax.associative_scan(seg_sum, (data, start), axis=-1)
-    # run end at bin b <=> next bin starts a new run (or b is last)
-    end = jnp.concatenate(
-        [start[..., 1:], jnp.ones(start.shape[:-1] + (1,), bool)], -1)
     rev = prefix[..., ::-1]
     rend = end[..., ::-1]
 

@@ -119,3 +119,37 @@ def test_shift_scan_matches_associative(perrow, monkeypatch):
         outs[mode] = [np.asarray(v) for v in (y1, f1_, y2, f2_, y3, f3_)]
     for a, b in zip(outs["0"], outs["1"]):
         np.testing.assert_allclose(a, b, rtol=4e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("shift", ["0", "1"])
+def test_segmented_run_sums_shift_matches(shift, monkeypatch):
+    """ops/interp._segmented_run_sums: the TPU Hillis-Steele shift form vs
+    the associative form vs a numpy sequential reference."""
+    import jax.numpy as jnp
+    from signalsmith_stretch_tpu.ops.interp import _segmented_run_sums
+    monkeypatch.setenv("SST_SHIFT_SCAN", shift)
+    rng = np.random.default_rng(4)
+    B = 300
+    above = rng.uniform(size=(5, B)) < 0.55
+    data = rng.uniform(0.1, 1.0, size=(5, B)).astype(np.float32) * above
+    start = above & np.concatenate(
+        [np.ones((5, 1), bool), ~above[:, :-1]], axis=1)
+    got = np.asarray(_segmented_run_sums(jnp.asarray(data),
+                                         jnp.asarray(start),
+                                         jnp.asarray(above)))
+    # sequential reference
+    ref = np.zeros_like(data)
+    for r in range(5):
+        i = 0
+        while i < B:
+            if not above[r, i]:
+                i += 1
+                continue
+            j = i
+            while j < B and above[r, j] and not (j > i and start[r, j]):
+                j += 1
+            tot = np.float32(data[r, i:j].sum(dtype=np.float64))
+            ref[r, i:j] = tot
+            i = j
+    mask = above
+    np.testing.assert_allclose(got[mask], ref[mask], rtol=3e-6)
