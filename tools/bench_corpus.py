@@ -69,24 +69,26 @@ def run_pipeline(paths, meta, prefetch, batch_size=32):
         it.semitones = st
     t_load = time.perf_counter() - t0
 
-    models, sums = {}, []
+    fns, sums = {}, []
     audio_seconds = 0.0
     n = 0
     for b in batches(items, batch_size=batch_size, prefetch=prefetch):
         rate, ch, in_len, tf, st = b["key"]
-        if b["key"] not in models:
-            models[b["key"]] = StretchModel.build(
+        if b["key"] not in fns:
+            m = StretchModel.build(
                 channels=ch, sample_rate=rate, in_samples=in_len,
                 out_samples=int(round(in_len * tf)), semitones=st,
                 tonality_hz=8000 if st else 0,
                 cheaper=(rate == 44100))
-        m = models[b["key"]]
+            # ONE jit per model key (a fresh jax.jit(lambda) per batch
+            # re-traces the whole render graph every call — measured
+            # ~33 s/batch of host tracing)
+            fns[b["key"]] = jax.jit(
+                lambda a, s, mm=m: jnp.sum(jnp.abs(mm.batched(a, s))))
         x = b["audio"] if not isinstance(b["audio"], np.ndarray) \
             else jnp.asarray(b["audio"])
-        # same jit shape as bench.py's run_config (shared compile cache)
         seeds = jnp.arange(x.shape[0], dtype=jnp.int32)
-        sums.append(jax.jit(
-            lambda a, s, mm=m: jnp.sum(jnp.abs(mm.batched(a, s))))(x, seeds))
+        sums.append(fns[b["key"]](x, seeds))
         audio_seconds += b["audio"].shape[0] * in_len / rate
         n += b["audio"].shape[0]
     for s in sums:

@@ -49,8 +49,12 @@ def main():
           f"xs={nG*S*K*P*batch*GR*4/2**30:.2f} GiB", flush=True)
 
     key = jax.random.PRNGKey(0)
-    packed = jax.block_until_ready(jax.jit(
-        lambda k: jax.random.normal(k, (batch, P, nBp, B), jnp.float32))(key))
+    case = os.environ.get("SST_EXP_CASE", "base")
+    packed = None
+    if case == "base":
+        packed = jax.block_until_ready(jax.jit(
+            lambda k: jax.random.normal(k, (batch, P, nBp, B),
+                                        jnp.float32))(key))
 
     def build_rows(pk):
         groups = []
@@ -73,7 +77,17 @@ def main():
 
     f_xs = jax.jit(lambda pk: jnp.sum(build_xs(pk)))
 
-    xs_all = jax.block_until_ready(jax.jit(build_xs)(packed))
+    xs_all = None
+    if case in ("base", "dus"):
+        src_arr = packed
+        if src_arr is None:
+            src_arr = jax.block_until_ready(jax.jit(
+                lambda k: jax.random.normal(k, (batch, P, nBp, B),
+                                            jnp.float32))(key))
+        xs_all = jax.block_until_ready(jax.jit(build_xs)(src_arr))
+        del src_arr
+        if case == "dus":
+            packed = None
 
     def scan_triv(xs):
         def group(c, xs_g):
@@ -138,9 +152,11 @@ def main():
 
     f_cell = jax.jit(scan_cell)
 
-    ys_all = jax.block_until_ready(jax.jit(
-        lambda k: jax.random.normal(k, (nG, D, nch, batch, GR), jnp.float32)
-    )(key))
+    ys_all = None
+    if case == "base":
+        ys_all = jax.block_until_ready(jax.jit(
+            lambda k: jax.random.normal(k, (nG, D, nch, batch, GR),
+                                        jnp.float32))(key))
 
     def unskew(ys):
         outs = []
@@ -158,11 +174,15 @@ def main():
     f_unskew = jax.jit(unskew)
 
     # round-5 additions: the pieces the production (dus-emission) sweep
-    # actually runs that the above do not isolate
-    planes12 = jax.block_until_ready(jax.jit(
-        lambda k: [jax.random.normal(jax.random.fold_in(k, i),
-                                     (batch, nB, B), jnp.float32)
-                   for i in range(P)])(key))
+    # actually runs that the above do not isolate.  Run in isolation
+    # (SST_EXP_CASE=pack / dus) — together with the base cases the live
+    # arrays exceed HBM.
+    planes12 = None
+    if case == "pack":
+        planes12 = jax.block_until_ready(jax.jit(
+            lambda k: [jax.random.normal(jax.random.fold_in(k, i),
+                                         (batch, nB, B), jnp.float32)
+                       for i in range(P)])(key))
 
     def pack12(pls):
         stacked = jnp.pad(jnp.stack(pls, axis=1),
@@ -198,13 +218,16 @@ def main():
 
     f_dus = jax.jit(scan_dus)
 
-    for name, fn, arg in (("build_rows", f_rows, packed),
-                          ("build_xs  ", f_xs, packed),
-                          ("scan_triv ", f_triv, xs_all),
-                          ("scan_cell ", f_cell, xs_all),
-                          ("unskew    ", f_unskew, ys_all),
-                          ("pack12    ", f_pack, planes12),
-                          ("scan_dus  ", f_dus, xs_all)):
+    cases = {
+        "base": (("build_rows", f_rows, packed),
+                 ("build_xs  ", f_xs, packed),
+                 ("scan_triv ", f_triv, xs_all),
+                 ("scan_cell ", f_cell, xs_all),
+                 ("unskew    ", f_unskew, ys_all)),
+        "pack": (("pack12    ", f_pack, planes12),),
+        "dus": (("scan_dus  ", f_dus, xs_all),),
+    }
+    for name, fn, arg in cases[case]:
         dt, cs = timed(fn, arg)
         print(f"{name}: {dt*1e3:7.1f} ms (compile {cs:.0f}s)", flush=True)
 
