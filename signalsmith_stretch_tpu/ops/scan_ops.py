@@ -40,16 +40,16 @@ def _cpp_max(a, b):
 
 
 def _use_shift_scan() -> bool:
-    """Hillis-Steele shift form on TPU (closed-form level coefficients, one
-    carried plane, no even/odd interleave relayouts — the associative_scan
-    lowering's odd/even splits are strided minor-axis slices that relayout
-    every level); CPU keeps the associative form the probe gates were
-    measured against.  Override: SST_SHIFT_SCAN=0/1."""
+    """Hillis-Steele shift form (closed-form level coefficients, one
+    carried plane).  MEASURED REJECTION as the TPU default (round 5,
+    tools/exp_formant.py at bench shapes): decay x8 193.3 ms shift vs
+    99.1 ms associative — XLA's associative_scan lowering handles the
+    minor axis fine, and Hillis-Steele's n*log n multiply/select work
+    dominates the hoped-for relayout savings.  Kept behind
+    SST_SHIFT_SCAN=1 with its equivalence tests; default associative on
+    every backend."""
     import os
-    env = os.environ.get("SST_SHIFT_SCAN", "")
-    if env:
-        return env != "0"
-    return jax.default_backend() != "cpu"
+    return os.environ.get("SST_SHIFT_SCAN", "") == "1"
 
 
 def _shift_right(x, k, fill):
