@@ -620,29 +620,9 @@ def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
     construction (no capacity windows), so violations = 0."""
     f1 = jnp.float32
     nB, B = energy.shape
-    above = energy > smoothed
-    start = above & jnp.concatenate(
-        [jnp.ones((nB, 1), bool), ~above[:, :-1]], axis=1)
-    b_idx = jnp.arange(B, dtype=jnp.float32)
-
-    em = jnp.where(above, energy, 0)
-    band_sum = _segmented_run_sums(b_idx[None] * em, start, above)
-    energy_sum = _segmented_run_sums(em, start, above)
-    n_peaks = jnp.sum(start.astype(jnp.int32), axis=1)             # [nB]
-
-    avg_band = band_sum / jnp.where(energy_sum == 0, f1(1), energy_sum)
-    avg_freq = spectral._band_to_freq(avg_band, consts)
-    peak_out_raw = spectral._freq_to_band(
-        spectral.map_freq(avg_freq, controls, flags), consts)      # [nB, B]
-
-    # row scalars (peak centroids/cells are increasing across runs)
-    pinf = jnp.float32(np.inf)
-    first_in = jnp.min(jnp.where(start, avg_band, pinf), axis=1)
-    first_out = jnp.min(jnp.where(start, peak_out_raw, pinf), axis=1)
-    last_in = jnp.max(jnp.where(start, avg_band, -pinf), axis=1)
-    last_out_r = jnp.max(jnp.where(start, peak_out_raw, -pinf), axis=1)
-    has = n_peaks > 0
-    last_out = jnp.where(has, last_out_r, f1(0))
+    (start, b_idx, avg_band, peak_out_raw, first_in, first_out,
+     last_in, last_out, has) = _peaks_head(energy, smoothed, controls,
+                                           flags, consts)
 
     cells = jnp.clip(jnp.ceil(peak_out_raw), 0, B).astype(jnp.int32)
 
@@ -691,6 +671,49 @@ def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
     next_o = spectral._freq_to_band(
         spectral.map_freq(spectral._band_to_freq(next_in_, consts),
                           controls, flags), consts)
+    return _peaks_assemble(b_idx, start, prev_in_, prev_o, next_in_, next_o,
+                           lo_v, hi_v, first_in, first_out, last_in,
+                           last_out, has)
+
+
+def _peaks_head(energy, smoothed, controls, flags, consts):
+    """Shared run/centroid/row-scalar head of the peaks builders."""
+    f1 = jnp.float32
+    nB, B = energy.shape
+    above = energy > smoothed
+    start = above & jnp.concatenate(
+        [jnp.ones((nB, 1), bool), ~above[:, :-1]], axis=1)
+    b_idx = jnp.arange(B, dtype=jnp.float32)
+
+    em = jnp.where(above, energy, 0)
+    band_sum = _segmented_run_sums(b_idx[None] * em, start, above)
+    energy_sum = _segmented_run_sums(em, start, above)
+    n_peaks = jnp.sum(start.astype(jnp.int32), axis=1)             # [nB]
+
+    avg_band = band_sum / jnp.where(energy_sum == 0, f1(1), energy_sum)
+    avg_freq = spectral._band_to_freq(avg_band, consts)
+    peak_out_raw = spectral._freq_to_band(
+        spectral.map_freq(avg_freq, controls, flags), consts)      # [nB, B]
+
+    # row scalars (peak centroids/cells are increasing across runs)
+    pinf = jnp.float32(np.inf)
+    first_in = jnp.min(jnp.where(start, avg_band, pinf), axis=1)
+    first_out = jnp.min(jnp.where(start, peak_out_raw, pinf), axis=1)
+    last_in = jnp.max(jnp.where(start, avg_band, -pinf), axis=1)
+    last_out_r = jnp.max(jnp.where(start, peak_out_raw, -pinf), axis=1)
+    has = n_peaks > 0
+    last_out = jnp.where(has, last_out_r, f1(0))
+    return (start, b_idx, avg_band, peak_out_raw, first_in, first_out,
+            last_in, last_out, has)
+
+
+def _peaks_assemble(b_idx, start, prev_in_, prev_o, next_in_, next_o,
+                    lo_v, hi_v, first_in, first_out, last_in, last_out,
+                    has):
+    """Shared smoothstep-interpolation tail of the peaks builders
+    (reference :894-917)."""
+    f1 = jnp.float32
+    B = start.shape[1]
     # the windowed path's 0-filled tables produce 0 outside valid taps
     next_o = jnp.where(hi_v, next_o, 0)
     next_in_ = jnp.where(hi_v, next_in_, 0)
@@ -721,21 +744,136 @@ def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
     return input_bin, freq_grad, jnp.int32(0)
 
 
+def _peaks_and_map_invmap(energy, smoothed, controls, flags, consts):
+    """Inverse-map formulation of the peaks/output-map builder: NO sorts.
+
+    The standard frequency map (tonality-limited semitone shift,
+    reference :300-309) is piecewise-linear and strictly increasing, so
+    peak output positions po(centroid) are increasing across runs and the
+    prev-peak-for-bin-b query ("last peak with cell <= b", :888-891) is a
+    PREFIX boundary.  Anchor each output bin b at the closed-form inverse
+    X = po^-1(b): the true prev peak provably lies among the last THREE
+    runs starting at or before floor(X)+1 —
+
+      * run starts are >= 2 bins apart (a start needs above[i] and
+        ~above[i-1]), so at most one run starts <= X with centroid > X
+        (it would straddle X, and the next run starts past its end) and
+        at most one more starts in (X, floor(X)+1];
+      * runs starting later have centroid > X + 1, hence po > b by at
+        least one output bin times the map slope — orders of magnitude
+        above the f32 error of the X anchor, which therefore only needs
+        to be approximately right.
+
+    The THREE candidate centroids (and each one's successor-run centroid,
+    whose po > b makes it the "next" table entry) are fill-forward planes
+    in source-bin space (cummax chains), looked up at the SHARED [B]
+    anchor vector with one exact one-hot matmul on the MXU (the same
+    shared-position trick as the formant envelope).  Selection compares
+    po(candidate) <= b with the reference's own float chain (cell <= b
+    <=> po <= b exactly, since cells = ceil(po) and b is an integer), so
+    the chosen peak — and therefore every output value — is bit-identical
+    to the sort-merge builder, without its two lax.sort calls (~145 ms of
+    the mapped plan at bench shapes).  Requires an invertible map
+    (no custom_map) and scalar controls; callers fall back to merge
+    otherwise."""
+    f1 = jnp.float32
+    nB, B = energy.shape
+    (start, b_idx, avg_band, peak_out_raw, first_in, first_out,
+     last_in, last_out, has) = _peaks_head(energy, smoothed, controls,
+                                           flags, consts)
+    ninf = f1(-np.inf)
+    pinf = f1(np.inf)
+
+    def shr1(x, fill):
+        return jnp.concatenate(
+            [jnp.full((nB, 1), fill, x.dtype), x[:, :-1]], 1)
+
+    def shl1(x, fill):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((nB, 1), fill, x.dtype)], 1)
+
+    # fill-forward candidate chains: c1 = centroid of the last run
+    # starting <= i, c2/c3 its predecessors; nx1 = centroid of the run
+    # AFTER c1 (+inf once c1 is the final run).  All increasing across
+    # starts, so the fills are plain cummax (nx1's +inf tail included).
+    c1f = jax.lax.cummax(jnp.where(start, avg_band, ninf), axis=1)
+    c2f = jax.lax.cummax(jnp.where(start, shr1(c1f, ninf), ninf), axis=1)
+    c3f = jax.lax.cummax(jnp.where(start, shr1(c2f, ninf), ninf), axis=1)
+    n1b = jax.lax.cummin(
+        jnp.where(start, avg_band, pinf)[:, ::-1], axis=1)[:, ::-1]
+    nx1f = jax.lax.cummax(jnp.where(start, shl1(n1b, pinf), ninf), axis=1)
+
+    # closed-form inverse of the band-space map for the anchors
+    N = f1(consts.fft_samples)
+    mult = controls.freq_multiplier
+    limit = controls.freq_tonality_limit
+    mf = (b_idx + f1(0.5)) / N
+    fx = jnp.where(mf > limit * mult, mf - (mult - f1(1)) * limit,
+                   mf / mult)
+    X = fx * N - f1(0.5)
+    jp = jnp.clip(jnp.floor(X).astype(jnp.int32) + 1, 0, B - 1)   # [B]
+
+    # one exact one-hot lookup of the 4 planes at the shared anchors
+    big = f1(1e30)
+    planes4 = jnp.stack([jnp.clip(c1f, -big, big),
+                         jnp.clip(c2f, -big, big),
+                         jnp.clip(c3f, -big, big),
+                         jnp.clip(nx1f, -big, big)], 1)           # [nB,4,B]
+    wsel = (jnp.arange(B, dtype=jnp.int32)[:, None]
+            == jp[None, :]).astype(jnp.float32)                   # [B, B]
+    V = jnp.einsum("nkw,wb->nkb", planes4, wsel,
+                   precision=jax.lax.Precision.HIGHEST)
+    c1v, c2v, c3v, nxv = V[:, 0], V[:, 1], V[:, 2], V[:, 3]
+
+    def po(x):
+        return spectral._freq_to_band(
+            spectral.map_freq(spectral._band_to_freq(x, consts),
+                              controls, flags), consts)
+
+    thresh = f1(1e29)
+    bq = b_idx[None]
+    po1, po2, po3 = po(c1v), po(c2v), po(c3v)
+    g1 = (po1 <= bq) & (c1v > -thresh)
+    g2 = (po2 <= bq) & (c2v > -thresh)
+    g3 = (po3 <= bq) & (c3v > -thresh)
+    prev_in_ = jnp.where(g1, c1v, jnp.where(g2, c2v, c3v))
+    prev_o = jnp.where(g1, po1, jnp.where(g2, po2, po3))
+    lo_v = g1 | g2 | g3
+    next_in_ = jnp.where(g1, nxv, jnp.where(g2, c1v, c2v))
+    next_o = jnp.where(g1, po(nxv), jnp.where(g2, po1, po2))
+    hi_v = lo_v & (next_in_ < thresh)
+
+    return _peaks_assemble(b_idx, start, prev_in_, prev_o, next_in_, next_o,
+                           lo_v, hi_v, first_in, first_out, last_in,
+                           last_out, has)
+
+
 def _peakmap_mode() -> str:
-    """Peaks/output-map builder strategy: 'merge' (sort-merge, exact, no
-    gathers/scatters — TPU default) or 'window' (per-chunk windowed taps —
-    CPU default, value-matched to the per-block engine's accumulation
-    order).  Override with SST_PEAKMAP."""
+    """Peaks/output-map builder strategy: 'invmap' (inverse-anchored MXU
+    lookups, no sorts — TPU default for the standard map), 'merge'
+    (sort-merge, exact for ANY monotone map — TPU fallback), or 'window'
+    (per-chunk windowed taps — CPU default, value-matched to the
+    per-block engine's accumulation order).  Override with SST_PEAKMAP."""
     mode = os.environ.get("SST_PEAKMAP", "auto")
     if mode == "auto":
-        return "merge" if jax.default_backend() != "cpu" else "window"
-    if mode not in ("merge", "window"):
-        raise ValueError("SST_PEAKMAP must be merge or window, got %r" % mode)
+        return "invmap" if jax.default_backend() != "cpu" else "window"
+    if mode not in ("invmap", "merge", "window"):
+        raise ValueError("SST_PEAKMAP must be invmap, merge or window, "
+                         "got %r" % mode)
     return mode
 
 
 def _peaks_and_map_batched(energy, smoothed, controls, flags, consts, geom):
-    if _peakmap_mode() == "merge":
+    mode = _peakmap_mode()
+    if mode == "invmap":
+        # the inverse anchor needs an invertible map and one shared [B]
+        # anchor vector (scalar controls); otherwise sort-merge
+        if (flags.custom_map is None
+                and jnp.ndim(controls.freq_multiplier) == 0):
+            return _peaks_and_map_invmap(energy, smoothed, controls, flags,
+                                         consts)
+        mode = "merge"
+    if mode == "merge":
         return _peaks_and_map_merge(energy, smoothed, controls, flags,
                                     consts)
     return _peaks_and_map_windowed(energy, smoothed, controls, flags,

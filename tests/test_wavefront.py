@@ -407,3 +407,38 @@ def test_peaks_map_merge_matches_windowed(monkeypatch):
                                rtol=0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(fg_m), np.asarray(fg_r),
                                rtol=0, atol=1e-3)
+
+
+@pytest.mark.parametrize("semis,ton", [(12, 8000), (-3, 6000), (-24, 2000),
+                                       (0.5, 8000)])
+def test_peaks_invmap_matches_merge(semis, ton):
+    """The inverse-anchored peaks builder (SST_PEAKMAP=invmap, the TPU
+    default for the standard map) is BIT-identical to the sort-merge
+    builder: same selected peaks (prefix boundary via the same map-space
+    float chain), same centroid payloads, same smoothstep tail."""
+    from signalsmith_stretch_tpu.models import StretchModel
+    from signalsmith_stretch_tpu.ops import interp as oi
+    from signalsmith_stretch_tpu.ops import scan_ops
+    rng = np.random.default_rng(1)
+    m = StretchModel.build(channels=2, sample_rate=48000, in_samples=48000,
+                          out_samples=60000, semitones=semis,
+                          tonality_hz=ton)
+    consts = m.plan.consts
+    B = consts.bands
+    nB = 10
+    e = (rng.uniform(size=(nB, B)).astype(np.float32)) ** 3
+    e[3] = 0          # silent row: no peaks
+    e[4] = 1.0        # constant row
+    sm = jnp.asarray(e)
+    ee = jnp.zeros(nB, jnp.float32)
+    for _ in range(2):
+        sm, ee = scan_ops.iir_backward(sm, ee, np.float32(consts.slew))
+        sm, ee = scan_ops.iir_forward(sm, ee, np.float32(consts.slew))
+    ej = jnp.asarray(e)
+    ib1, fg1, _ = oi._peaks_and_map_merge(ej, sm, m.controls, m.flags,
+                                          consts)
+    ib2, fg2, v2 = oi._peaks_and_map_invmap(ej, sm, m.controls, m.flags,
+                                            consts)
+    np.testing.assert_array_equal(np.asarray(ib1), np.asarray(ib2))
+    np.testing.assert_array_equal(np.asarray(fg1), np.asarray(fg2))
+    assert int(v2) == 0

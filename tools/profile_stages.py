@@ -41,6 +41,9 @@ def main():
     kw = {}
     if os.environ.get("SST_PROF_MAPPED") == "1":
         kw = dict(semitones=12, tonality_hz=8000)
+    if os.environ.get("SST_PROF_FORMANT") == "1":
+        kw = dict(formant_semitones=3, formant_compensation=True,
+                  formant_base_hz=220)
     model = StretchModel.build(channels=2, sample_rate=rate,
                                in_samples=in_len, out_samples=out_len, **kw)
     clips = jnp.asarray(make_corpus(batch, 2, in_len, rate))
