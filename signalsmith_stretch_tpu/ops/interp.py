@@ -686,12 +686,8 @@ def _peaks_head(energy, smoothed, controls, flags, consts):
     b_idx = jnp.arange(B, dtype=jnp.float32)
 
     em = jnp.where(above, energy, 0)
-    # one stacked scan for both run sums: the flag plane broadcasts
-    # [1, nB, B] against the [2, nB, B] data through the combine, so the
-    # scan carries 3 planes per level instead of two 2-plane scans
-    sums = _segmented_run_sums(jnp.stack([b_idx[None] * em, em]),
-                               start[None], above[None])
-    band_sum, energy_sum = sums[0], sums[1]
+    band_sum = _segmented_run_sums(b_idx[None] * em, start, above)
+    energy_sum = _segmented_run_sums(em, start, above)
     n_peaks = jnp.sum(start.astype(jnp.int32), axis=1)             # [nB]
 
     avg_band = band_sum / jnp.where(energy_sum == 0, f1(1), energy_sum)
