@@ -583,6 +583,28 @@ def _segmented_run_sums(data, start, above):
     return tot_rev[..., ::-1]
 
 
+def _segmented_run_sums_rev(data, start):
+    """Run totals AT RUN-START bins via one reverse segmented prefix.
+
+    data [..., B] (masked to zero outside runs), start [..., B].  In
+    reversed bin order the segment boundaries are the run ENDS (the bin
+    before each next start, i.e. the reversed `start` shifted into
+    leading position), so a single segmented prefix sum accumulates each
+    run back-to-front and the original START bin — the last element of
+    its reversed segment — holds the full run total.  Values off the
+    start bins are partial sums (callers mask).  Same float sums as the
+    two-pass _segmented_run_sums up to scan-tree reassociation."""
+    end = jnp.concatenate(
+        [start[..., 1:], jnp.ones(start.shape[:-1] + (1,), bool)], -1)
+
+    def seg_sum(l, r):
+        return (jnp.where(r[1], r[0], l[0] + r[0]), l[1] | r[1])
+
+    prefix_rev, _ = jax.lax.associative_scan(
+        seg_sum, (data[..., ::-1], end[..., ::-1]), axis=-1)
+    return prefix_rev[..., ::-1]
+
+
 def _peaks_and_map_merge(energy, smoothed, controls, flags, consts):
     """Sort-merge formulation of the peaks/output-map builder.
 
@@ -686,8 +708,14 @@ def _peaks_head(energy, smoothed, controls, flags, consts):
     b_idx = jnp.arange(B, dtype=jnp.float32)
 
     em = jnp.where(above, energy, 0)
-    band_sum = _segmented_run_sums(b_idx[None] * em, start, above)
-    energy_sum = _segmented_run_sums(em, start, above)
+    # The merge/invmap builders only read run sums AT RUN STARTS (row
+    # scalars, sort payloads and fill chains are all where(start, ...)),
+    # so the usual forward-prefix + backward-propagate pair is half
+    # wasted: ONE reverse segmented prefix (reset at run ENDS) lands the
+    # full run total exactly on the start bin; everything else is partial
+    # sums the callers mask off anyway.
+    band_sum = _segmented_run_sums_rev(b_idx[None] * em, start)
+    energy_sum = _segmented_run_sums_rev(em, start)
     n_peaks = jnp.sum(start.astype(jnp.int32), axis=1)             # [nB]
 
     avg_band = band_sum / jnp.where(energy_sum == 0, f1(1), energy_sum)
