@@ -442,3 +442,31 @@ def test_peaks_invmap_matches_merge(semis, ton):
     np.testing.assert_array_equal(np.asarray(ib1), np.asarray(ib2))
     np.testing.assert_array_equal(np.asarray(fg1), np.asarray(fg2))
     assert int(v2) == 0
+
+
+def test_peaks_invmap_fallback_eligibility(monkeypatch):
+    """SST_PEAKMAP=invmap with per-block (automated) controls must fall
+    back to the merge builder rather than mis-anchor: the inverse needs
+    one shared [B] anchor vector and an invertible map."""
+    from signalsmith_stretch_tpu.models import StretchModel
+    from signalsmith_stretch_tpu.ops import interp as oi
+    from signalsmith_stretch_tpu import spectral as sp
+    rng = np.random.default_rng(2)
+    m = StretchModel.build(channels=2, sample_rate=48000, in_samples=48000,
+                          out_samples=60000, semitones=7, tonality_hz=4000)
+    consts = m.plan.consts
+    B = consts.bands
+    nB = 6
+    e = (rng.uniform(size=(nB, B)).astype(np.float32)) ** 3
+    sm = e * np.float32(0.8)
+    monkeypatch.setenv("SST_PEAKMAP", "invmap")
+    # automated controls: [nB, 1]-leaf Controls -> merge fallback (must
+    # not raise and must equal merge exactly)
+    auto = sp.Controls(*[jnp.broadcast_to(c, (nB, 1)) for c in m.controls])
+    got = oi._peaks_and_map_batched(jnp.asarray(e), jnp.asarray(sm), auto,
+                                    m.flags, consts, (64, 128))
+    monkeypatch.setenv("SST_PEAKMAP", "merge")
+    ref = oi._peaks_and_map_batched(jnp.asarray(e), jnp.asarray(sm), auto,
+                                    m.flags, consts, (64, 128))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
