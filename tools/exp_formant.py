@@ -85,8 +85,46 @@ def main():
             return jnp.sum(v)
         return jnp.sum(jax.vmap(one)(m))
 
+    def decay_chunked(m, fe):
+        """EXPERIMENT: decayed max via per-chunk normalization — z = y/d^j
+        turns the recurrence into a plain cummax within 128-bin chunks,
+        plus a tiny cross-chunk carry scan.  Degenerate decays (0/inf)
+        only occur on all-zero rows (silent formant), where both forms
+        give 0 — product adoption would need that pinned."""
+        CH = 128
+
+        def one(met, freq):
+            decay = f32(1) - f32(1) / (freq * f32(0.5) + f32(1))
+            R, B = met.shape
+            nc = B // CH
+            j = jnp.arange(CH, dtype=jnp.float32)
+            logd = jnp.log(decay)[:, None]
+            dj = jnp.clip(jnp.exp(logd * j), 0, f32(1e20))      # [R, CH]
+            inv = jnp.clip(jnp.exp(-logd * j), 0, f32(1e20))
+            d128 = jnp.clip(jnp.exp(logd[:, 0] * CH), 0, f32(1e20))
+            xv = met.reshape(R, nc, CH)
+            z = jax.lax.cummax(xv * inv[:, None, :], axis=-1)
+            ylocal = z * dj[:, None, :]
+            ends = ylocal[..., -1]                              # [R, nc]
+
+            def comb(l, r):
+                return (jnp.where(l[0] * r[1] > r[0], l[0] * r[1], r[0]),
+                        l[1] * r[1])
+
+            E, _ = jax.lax.associative_scan(
+                comb, (ends, jnp.broadcast_to(d128[:, None], ends.shape)),
+                axis=-1)
+            Eprev = jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.float32), E[:, :-1]], 1)
+            carry = Eprev[..., None] * (dj * decay[:, None])[:, None, :]
+            y = jnp.maximum(ylocal, carry)
+            return jnp.sum(y)
+        return jnp.sum(jax.vmap(one)(m, fe))
+
     for name, fn, args in [("estimator", estimator, (metric,)),
                            ("decay x8", decay_scans, (metric, freq_est)),
+                           ("decay chunked x1", decay_chunked,
+                            (metric, freq_est)),
                            ("env interp", env_interp, (metric,))]:
         dt, cs = timed(jax.jit(fn), *args)
         print(f"{name:10s} {dt*1e3:9.1f} ms (compile {cs:.0f}s)", flush=True)
